@@ -1,0 +1,32 @@
+"""Test configuration: run the suite on a virtual 8-device CPU mesh.
+
+The reference has no test suite at all (SURVEY.md §4); we build one that runs
+without TPU hardware.  Multi-chip sharding tests use XLA's host-platform
+device-count override, per the project testing contract.
+
+These env vars must be set before the first `import jax` anywhere in the test
+process, which is why they live at conftest import time.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+# Verify numerics at full f32 precision; production runs use the backend
+# default (bf16 MXU passes on TPU) — a deliberate speed/precision trade,
+# not a correctness requirement.
+jax.config.update("jax_default_matmul_precision", "highest")
+
+
+@pytest.fixture
+def rng():
+    return np.random.RandomState(0)
