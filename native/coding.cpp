@@ -1,0 +1,218 @@
+// Native entropy-coding primitives for pcgcv2_tpu.
+//
+// Replaces the reference's torchac C++ arithmetic coder
+// (/root/reference/entropy_model.py:174,192 usage) with a static-CDF rANS
+// coder for bottleneck features, and provides an adaptive binary range coder
+// (LZMA-style) used by the octree coordinate codec (the built-in fallback for
+// the external MPEG tmc3 binary, ref gpcc.py).
+//
+// Both coders are host-side: TPU computes the PMF tables; these functions
+// only touch CPU byte streams.  Exposed via a plain C ABI for ctypes.
+//
+// Build: g++ -O2 -shared -fPIC -o libpcgc_coding.so coding.cpp
+
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// rANS, 16-bit precision, byte renormalization (rans_byte construction).
+//
+// CDF layout: uint32[C, S+1] per channel, cdf[c][0] == 0,
+// cdf[c][S] == 1<<16, strictly increasing (every symbol has freq >= 1).
+// Symbol i of the flattened row-major [points, channels] array uses
+// channel i % C — matching the reference's per-channel CDF replication
+// (entropy_model.py:173).
+// ---------------------------------------------------------------------------
+
+static const uint32_t RANS_L = 1u << 23;
+static const int PROB_BITS = 16;
+
+long rans_encode(const uint32_t* cdf, int C, int S, const int32_t* syms,
+                 long N, uint8_t* out, long cap) {
+  uint8_t* ptr = out + cap;
+  uint32_t x = RANS_L;
+  for (long i = N - 1; i >= 0; --i) {
+    const uint32_t* row = cdf + (long)(i % C) * (S + 1);
+    int s = syms[i];
+    if (s < 0 || s >= S) return -2;
+    uint32_t start = row[s];
+    uint32_t freq = row[s + 1] - start;
+    uint32_t x_max = ((RANS_L >> PROB_BITS) << 8) * freq;
+    while (x >= x_max) {
+      if (ptr <= out) return -1;
+      *--ptr = (uint8_t)(x & 0xff);
+      x >>= 8;
+    }
+    x = ((x / freq) << PROB_BITS) + (x % freq) + start;
+  }
+  for (int k = 0; k < 4; ++k) {
+    if (ptr <= out) return -1;
+    *--ptr = (uint8_t)(x & 0xff);
+    x >>= 8;
+  }
+  long n_bytes = (long)((out + cap) - ptr);
+  std::memmove(out, ptr, (size_t)n_bytes);
+  return n_bytes;
+}
+
+long rans_decode(const uint32_t* cdf, int C, int S, const uint8_t* in,
+                 long n_in, int32_t* syms, long N) {
+  if (n_in < 4) return -1;
+  const uint8_t* ptr = in;
+  const uint8_t* end = in + n_in;
+  uint32_t x = 0;
+  for (int k = 0; k < 4; ++k) x = (x << 8) | *ptr++;
+  const uint32_t mask = (1u << PROB_BITS) - 1;
+  for (long i = 0; i < N; ++i) {
+    const uint32_t* row = cdf + (long)(i % C) * (S + 1);
+    uint32_t cum = x & mask;
+    int lo = 0, hi = S;
+    while (hi - lo > 1) {
+      int mid = (lo + hi) >> 1;
+      if (row[mid] <= cum) lo = mid; else hi = mid;
+    }
+    uint32_t start = row[lo];
+    uint32_t freq = row[lo + 1] - start;
+    x = freq * (x >> PROB_BITS) + cum - start;
+    while (x < RANS_L) x = (x << 8) | (ptr < end ? *ptr++ : 0);
+    syms[i] = lo;
+  }
+  return 0;
+}
+
+// ---------------------------------------------------------------------------
+// Adaptive binary range coder (carry-handling LZMA construction) coding
+// bytes through a per-context bit tree.  Contexts are caller-supplied ids,
+// which lets the octree codec condition each occupancy byte on its parent's
+// byte while decoding level by level (streaming handles below keep coder
+// state across calls).
+// ---------------------------------------------------------------------------
+
+static const int KPROB_BITS = 12;
+static const uint16_t PROB_INIT = 1 << (KPROB_BITS - 1);
+static const int ADAPT_SHIFT = 5;
+
+struct AbcEncoder {
+  uint64_t low = 0;
+  uint32_t range = 0xFFFFFFFFu;
+  uint8_t cache = 0;
+  long cache_size = 1;
+  std::vector<uint8_t> bytes;
+  std::vector<uint16_t> probs;  // [n_ctx * 256]
+
+  void shift_low() {
+    if ((uint32_t)low < 0xFF000000u || (int)(low >> 32) != 0) {
+      uint8_t temp = cache;
+      do {
+        bytes.push_back((uint8_t)(temp + (uint8_t)(low >> 32)));
+        temp = 0xFF;
+      } while (--cache_size != 0);
+      cache = (uint8_t)(low >> 24);
+    }
+    cache_size++;
+    low = ((uint32_t)low) << 8;
+  }
+
+  void encode_bit(uint16_t* prob, int bit) {
+    uint32_t bound = (range >> KPROB_BITS) * (*prob);
+    if (!bit) {
+      range = bound;
+      *prob = (uint16_t)(*prob + (((1 << KPROB_BITS) - *prob) >> ADAPT_SHIFT));
+    } else {
+      low += bound;
+      range -= bound;
+      *prob = (uint16_t)(*prob - (*prob >> ADAPT_SHIFT));
+    }
+    while (range < (1u << 24)) {
+      range <<= 8;
+      shift_low();
+    }
+  }
+};
+
+struct AbcDecoder {
+  uint32_t range = 0xFFFFFFFFu;
+  uint32_t code = 0;
+  const uint8_t* ptr;
+  const uint8_t* end;
+  std::vector<uint16_t> probs;
+
+  uint8_t next() { return ptr < end ? *ptr++ : 0; }
+
+  int decode_bit(uint16_t* prob) {
+    uint32_t bound = (range >> KPROB_BITS) * (*prob);
+    int bit;
+    if (code < bound) {
+      range = bound;
+      *prob = (uint16_t)(*prob + (((1 << KPROB_BITS) - *prob) >> ADAPT_SHIFT));
+      bit = 0;
+    } else {
+      code -= bound;
+      range -= bound;
+      *prob = (uint16_t)(*prob - (*prob >> ADAPT_SHIFT));
+      bit = 1;
+    }
+    while (range < (1u << 24)) {
+      range <<= 8;
+      code = (code << 8) | next();
+    }
+    return bit;
+  }
+};
+
+void* abc_enc_new(int n_ctx) {
+  AbcEncoder* e = new AbcEncoder();
+  e->probs.assign((size_t)n_ctx * 256, PROB_INIT);
+  return e;
+}
+
+void abc_enc_bytes(void* h, const uint8_t* data, const uint32_t* ctxs, long n) {
+  AbcEncoder* e = (AbcEncoder*)h;
+  for (long i = 0; i < n; ++i) {
+    uint16_t* tree = e->probs.data() + (size_t)ctxs[i] * 256;
+    int m = 1;
+    uint8_t b = data[i];
+    for (int k = 7; k >= 0; --k) {
+      int bit = (b >> k) & 1;
+      e->encode_bit(&tree[m], bit);
+      m = (m << 1) | bit;
+    }
+  }
+}
+
+long abc_enc_finish(void* h, uint8_t* out, long cap) {
+  AbcEncoder* e = (AbcEncoder*)h;
+  for (int i = 0; i < 5; ++i) e->shift_low();
+  long n = (long)e->bytes.size();
+  if (n > cap) return -1;
+  std::memcpy(out, e->bytes.data(), (size_t)n);
+  return n;
+}
+
+void abc_enc_free(void* h) { delete (AbcEncoder*)h; }
+
+void* abc_dec_new(const uint8_t* in, long n_in, int n_ctx) {
+  AbcDecoder* d = new AbcDecoder();
+  d->ptr = in;
+  d->end = in + n_in;
+  d->probs.assign((size_t)n_ctx * 256, PROB_INIT);
+  for (int i = 0; i < 5; ++i) d->code = (d->code << 8) | d->next();
+  return d;
+}
+
+void abc_dec_bytes(void* h, const uint32_t* ctxs, long n, uint8_t* out) {
+  AbcDecoder* d = (AbcDecoder*)h;
+  for (long i = 0; i < n; ++i) {
+    uint16_t* tree = d->probs.data() + (size_t)ctxs[i] * 256;
+    int m = 1;
+    for (int k = 7; k >= 0; --k) m = (m << 1) | d->decode_bit(&tree[m]);
+    out[i] = (uint8_t)(m & 0xff);
+  }
+}
+
+void abc_dec_free(void* h) { delete (AbcDecoder*)h; }
+
+}  // extern "C"

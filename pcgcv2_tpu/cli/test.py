@@ -1,0 +1,160 @@
+"""Rate-sweep evaluation CLI (ref /root/reference/test.py).
+
+Sweeps the 7 rate-point checkpoints, writes per-sequence CSVs with the same
+columns as the reference's results/ files, and plots the D1/D2 RD curve.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import numpy as np
+
+
+DEFAULT_CKPTS = [
+    "./ckpts/r1_0.025bpp.ckpt", "./ckpts/r2_0.05bpp.ckpt",
+    "./ckpts/r3_0.10bpp.ckpt", "./ckpts/r4_0.15bpp.ckpt",
+    "./ckpts/r5_0.25bpp.ckpt", "./ckpts/r6_0.3bpp.ckpt",
+    "./ckpts/r7_0.4bpp.ckpt",
+]
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(
+        formatter_class=argparse.ArgumentDefaultsHelpFormatter
+    )
+    p.add_argument("--filedir", default="testdata/longdress_vox10_1300.ply")
+    p.add_argument("--outdir", default="./output")
+    p.add_argument("--resultdir", default="./results")
+    p.add_argument("--scaling_factor", type=float, default=1.0)
+    p.add_argument("--res", type=int, default=1024)
+    p.add_argument("--rho", type=float, default=1.0)
+    p.add_argument("--ckpts", nargs="*", default=DEFAULT_CKPTS)
+    return p.parse_args(argv)
+
+
+def run_sweep(filedir, ckptdir_list, outdir, resultdir,
+              scaling_factor=1.0, rho=1.0, res=1024):
+    import pandas as pd
+
+    from pcgcv2_tpu.codec.coder import Coder
+    from pcgcv2_tpu.data.io import load_coords, write_ply_ascii_geo
+    from pcgcv2_tpu.data.voxelize import scale_coords
+    from pcgcv2_tpu.eval import pc_error as pce
+    from pcgcv2_tpu.eval.metrics import pc_metrics
+    from pcgcv2_tpu.train.trainer import load_params
+
+    start = time.time()
+    coords = load_coords(filedir)
+    print("Loading Time:\t", round(time.time() - start, 4), "s")
+
+    os.makedirs(outdir, exist_ok=True)
+    os.makedirs(resultdir, exist_ok=True)
+    filename = os.path.join(outdir, os.path.split(filedir)[-1].split(".")[0])
+    print("output filename:\t", filename)
+
+    rows = []
+    coder = None
+    for idx, ckptdir in enumerate(ckptdir_list):
+        print("=" * 10, idx + 1, "=" * 10)
+        assert os.path.exists(ckptdir), f"missing checkpoint {ckptdir}"
+        params = load_params(ckptdir)
+        print("load checkpoint from \t", ckptdir)
+        if coder is None:
+            coder = Coder(params, filename)
+        else:
+            coder.params = params  # reuse jit caches across rate points
+        postfix = f"_r{idx + 1}"
+
+        x_in = (
+            scale_coords(coords, scaling_factor)
+            if scaling_factor != 1 else coords
+        )
+
+        start = time.time()
+        coder.encode(x_in, postfix=postfix)
+        time_enc = round(time.time() - start, 3)
+        print("Enc Time:\t", time_enc, "s")
+
+        start = time.time()
+        x_dec = coder.decode(rho=rho, postfix=postfix)
+        time_dec = round(time.time() - start, 3)
+        print("Dec Time:\t", time_dec, "s")
+
+        if scaling_factor != 1:
+            x_dec = scale_coords(x_dec, 1.0 / scaling_factor)
+
+        sizes = coder.bitstream_bytes(postfix=postfix)
+        bits = np.array([sizes[k] * 8 for k in
+                         ("_C.bin", "_F.bin", "_H.bin", "_num_points.bin")])
+        bpps = (bits / len(coords)).round(3)
+        print("bits:\t", sum(bits), "\nbpps:\t", sum(bpps).round(3))
+
+        dec_ply = filename + postfix + "_dec.ply"
+        write_ply_ascii_geo(dec_ply, x_dec)
+
+        start = time.time()
+        if pce.find_pc_error() is not None:
+            metrics = pce.pc_error(filedir, dec_ply, res=res, normal=True)
+        else:
+            metrics = pc_metrics(coords, x_dec, res, with_d2=True)
+        print("PC Error Metric Time:\t", round(time.time() - start, 3), "s")
+        print("D1 PSNR:\t", metrics["mseF,PSNR (p2point)"])
+
+        row = dict(metrics)
+        row["num_points(input)"] = len(coords)
+        row["num_points(output)"] = len(x_dec)
+        row["resolution"] = res
+        row["bits"] = float(sum(bits))
+        row["bpp"] = float(sum(bpps).round(3))
+        row["bpp(coords)"] = float(bpps[0])
+        row["bpp(feats)"] = float(bpps[1])
+        row["time(enc)"] = time_enc
+        row["time(dec)"] = time_dec
+        rows.append(row)
+
+        csv_name = os.path.join(
+            resultdir, os.path.split(filedir)[-1].split(".")[0] + ".csv"
+        )
+        pd.DataFrame(rows).to_csv(csv_name, index=False)
+        print("Write results to: \t", csv_name)
+
+    return pd.DataFrame(rows)
+
+
+def plot_rd(results, filedir, resultdir):
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig, ax = plt.subplots(figsize=(7, 4))
+    plt.plot(np.array(results["bpp"]),
+             np.array(results["mseF,PSNR (p2point)"]),
+             label="D1", marker="x", color="red")
+    if "mseF,PSNR (p2plane)" in results:
+        plt.plot(np.array(results["bpp"]),
+                 np.array(results["mseF,PSNR (p2plane)"]),
+                 label="D2", marker="x", color="blue")
+    name = os.path.split(filedir)[-1][:-4]
+    plt.title(name)
+    plt.xlabel("bpp")
+    plt.ylabel("PSNR")
+    plt.grid(ls="-.")
+    plt.legend(loc="lower right")
+    fig.savefig(os.path.join(resultdir, name + ".jpg"))
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    results = run_sweep(
+        args.filedir, args.ckpts, args.outdir, args.resultdir,
+        scaling_factor=args.scaling_factor, rho=args.rho, res=args.res,
+    )
+    plot_rd(results, args.filedir, args.resultdir)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,261 @@
+"""ctypes bridge to the native coding library (native/coding.cpp).
+
+Builds `libpcgc_coding.so` on first use with g++ (the toolchain is part of
+the deployment image; there is no pip dependency).  A pure-Python rANS
+fallback is provided for environments without a compiler — bit-exact with
+the C++ implementation, just slower.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from pathlib import Path
+from typing import Optional
+
+import numpy as np
+
+_REPO_ROOT = Path(__file__).resolve().parents[2]
+_SRC = _REPO_ROOT / "native" / "coding.cpp"
+_BUILD_DIR = _REPO_ROOT / "native" / "build"
+_LIB_PATH = _BUILD_DIR / "libpcgc_coding.so"
+
+_lock = threading.Lock()
+_lib: Optional[ctypes.CDLL] = None
+_build_failed = False
+
+
+def build() -> Path:
+    """Compile the native library (idempotent)."""
+    _BUILD_DIR.mkdir(parents=True, exist_ok=True)
+    if _LIB_PATH.exists() and _LIB_PATH.stat().st_mtime >= _SRC.stat().st_mtime:
+        return _LIB_PATH
+    subprocess.run(
+        ["g++", "-O2", "-shared", "-fPIC", "-o", str(_LIB_PATH), str(_SRC)],
+        check=True,
+        capture_output=True,
+    )
+    return _LIB_PATH
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib, _build_failed
+    with _lock:
+        if _lib is not None or _build_failed:
+            return _lib
+        try:
+            path = build()
+            lib = ctypes.CDLL(str(path))
+        except (OSError, subprocess.CalledProcessError):
+            _build_failed = True
+            return None
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        u32p = ctypes.POINTER(ctypes.c_uint32)
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        lib.rans_encode.restype = ctypes.c_long
+        lib.rans_encode.argtypes = [
+            u32p, ctypes.c_int, ctypes.c_int, i32p, ctypes.c_long,
+            u8p, ctypes.c_long,
+        ]
+        lib.rans_decode.restype = ctypes.c_long
+        lib.rans_decode.argtypes = [
+            u32p, ctypes.c_int, ctypes.c_int, u8p, ctypes.c_long,
+            i32p, ctypes.c_long,
+        ]
+        lib.abc_enc_new.restype = ctypes.c_void_p
+        lib.abc_enc_new.argtypes = [ctypes.c_int]
+        lib.abc_enc_bytes.argtypes = [
+            ctypes.c_void_p, u8p, u32p, ctypes.c_long,
+        ]
+        lib.abc_enc_finish.restype = ctypes.c_long
+        lib.abc_enc_finish.argtypes = [ctypes.c_void_p, u8p, ctypes.c_long]
+        lib.abc_enc_free.argtypes = [ctypes.c_void_p]
+        lib.abc_dec_new.restype = ctypes.c_void_p
+        lib.abc_dec_new.argtypes = [u8p, ctypes.c_long, ctypes.c_int]
+        lib.abc_dec_bytes.argtypes = [
+            ctypes.c_void_p, u32p, ctypes.c_long, u8p,
+        ]
+        lib.abc_dec_free.argtypes = [ctypes.c_void_p]
+        _lib = lib
+        return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def _u8(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+
+
+def _u32(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32))
+
+
+def _i32(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+
+
+# ---------------------------------------------------------------------------
+# rANS front-end (with Python fallback)
+# ---------------------------------------------------------------------------
+
+_RANS_L = 1 << 23
+_PROB_BITS = 16
+
+
+def rans_encode(cdf: np.ndarray, syms: np.ndarray) -> bytes:
+    """Encode int symbols with per-channel CDFs.
+
+    cdf: uint32 [C, S+1] quantized CDF (cdf[:,0]=0, cdf[:,S]=65536).
+    syms: int32 [N] flattened row-major [points, channels]; symbol i uses
+    channel i % C.
+    """
+    cdf = np.ascontiguousarray(cdf, dtype=np.uint32)
+    syms = np.ascontiguousarray(syms, dtype=np.int32)
+    c, s1 = cdf.shape
+    lib = _load()
+    if lib is not None:
+        cap = max(len(syms) * 4 + 64, 1024)
+        out = np.empty(cap, dtype=np.uint8)
+        n = lib.rans_encode(
+            _u32(cdf), c, s1 - 1, _i32(syms), len(syms), _u8(out), cap
+        )
+        if n < 0:
+            raise ValueError(f"rans_encode failed ({n})")
+        return out[:n].tobytes()
+    return _py_rans_encode(cdf, syms)
+
+
+def rans_decode(cdf: np.ndarray, data: bytes, n: int) -> np.ndarray:
+    cdf = np.ascontiguousarray(cdf, dtype=np.uint32)
+    c, s1 = cdf.shape
+    lib = _load()
+    if lib is not None:
+        buf = np.frombuffer(data, dtype=np.uint8)
+        syms = np.empty(n, dtype=np.int32)
+        r = lib.rans_decode(
+            _u32(cdf), c, s1 - 1, _u8(buf), len(buf), _i32(syms), n
+        )
+        if r < 0:
+            raise ValueError(f"rans_decode failed ({r})")
+        return syms
+    return _py_rans_decode(cdf, data, n)
+
+
+def _py_rans_encode(cdf, syms):
+    c, s1 = cdf.shape
+    out = bytearray()
+    x = _RANS_L
+    for i in range(len(syms) - 1, -1, -1):
+        row = cdf[i % c]
+        s = int(syms[i])
+        start, nxt = int(row[s]), int(row[s + 1])
+        freq = nxt - start
+        x_max = ((_RANS_L >> _PROB_BITS) << 8) * freq
+        while x >= x_max:
+            out.append(x & 0xFF)
+            x >>= 8
+        x = ((x // freq) << _PROB_BITS) + (x % freq) + start
+    for _ in range(4):
+        out.append(x & 0xFF)
+        x >>= 8
+    return bytes(reversed(out))
+
+
+def _py_rans_decode(cdf, data, n):
+    c, s1 = cdf.shape
+    pos = 0
+    x = 0
+    for _ in range(4):
+        x = (x << 8) | (data[pos] if pos < len(data) else 0)
+        pos += 1
+    mask = (1 << _PROB_BITS) - 1
+    syms = np.empty(n, dtype=np.int32)
+    for i in range(n):
+        row = cdf[i % c]
+        cum = x & mask
+        s = int(np.searchsorted(row, cum, side="right")) - 1
+        start, freq = int(row[s]), int(row[s + 1]) - int(row[s])
+        x = freq * (x >> _PROB_BITS) + cum - start
+        while x < _RANS_L:
+            x = (x << 8) | (data[pos] if pos < len(data) else 0)
+            pos += 1
+        syms[i] = s
+    return syms
+
+
+def quantize_cdf(pmf: np.ndarray, precision: int = 16) -> np.ndarray:
+    """Deterministic float PMF -> integer CDF with every frequency >= 1.
+
+    The same function runs on encode and decode sides (the reference relies
+    on torchac's internal float->int conversion the same way,
+    entropy_model.py:142-149,174).
+    """
+    pmf = np.asarray(pmf, dtype=np.float64)
+    c, s = pmf.shape
+    total = 1 << precision
+    norm = pmf / pmf.sum(axis=1, keepdims=True)
+    freqs = np.floor(norm * (total - s)).astype(np.int64) + 1
+    diff = total - freqs.sum(axis=1)
+    top = np.argmax(freqs, axis=1)
+    freqs[np.arange(c), top] += diff
+    cdf = np.zeros((c, s + 1), dtype=np.uint32)
+    cdf[:, 1:] = np.cumsum(freqs, axis=1)
+    assert (cdf[:, -1] == total).all()
+    return cdf
+
+
+# ---------------------------------------------------------------------------
+# Adaptive binary coder handles (used by the octree coordinate codec)
+# ---------------------------------------------------------------------------
+
+
+class AdaptiveByteEncoder:
+    """Streaming context-adaptive byte encoder (native only)."""
+
+    def __init__(self, n_ctx: int):
+        lib = _load()
+        if lib is None:
+            raise RuntimeError("native coding library unavailable")
+        self._lib = lib
+        self._h = lib.abc_enc_new(n_ctx)
+
+    def write(self, data: np.ndarray, ctxs: np.ndarray):
+        data = np.ascontiguousarray(data, dtype=np.uint8)
+        ctxs = np.ascontiguousarray(ctxs, dtype=np.uint32)
+        assert len(data) == len(ctxs)
+        self._lib.abc_enc_bytes(self._h, _u8(data), _u32(ctxs), len(data))
+
+    def finish(self) -> bytes:
+        cap = 16 << 20
+        out = np.empty(cap, dtype=np.uint8)
+        n = self._lib.abc_enc_finish(self._h, _u8(out), cap)
+        if n < 0:
+            raise ValueError("abc_enc_finish overflow")
+        self._lib.abc_enc_free(self._h)
+        self._h = None
+        return out[:n].tobytes()
+
+
+class AdaptiveByteDecoder:
+    def __init__(self, data: bytes, n_ctx: int):
+        lib = _load()
+        if lib is None:
+            raise RuntimeError("native coding library unavailable")
+        self._lib = lib
+        self._buf = np.frombuffer(data, dtype=np.uint8)
+        self._h = lib.abc_dec_new(_u8(self._buf), len(self._buf), n_ctx)
+
+    def read(self, ctxs: np.ndarray) -> np.ndarray:
+        ctxs = np.ascontiguousarray(ctxs, dtype=np.uint32)
+        out = np.empty(len(ctxs), dtype=np.uint8)
+        self._lib.abc_dec_bytes(self._h, _u32(ctxs), len(ctxs), _u8(out))
+        return out
+
+    def close(self):
+        if self._h is not None:
+            self._lib.abc_dec_free(self._h)
+            self._h = None

@@ -1,0 +1,132 @@
+"""Lossless octree coordinate codec — the built-in base layer.
+
+The reference codes bottleneck coordinates with the external MPEG G-PCC
+`tmc3` binary (/root/reference/gpcc.py, coder.py:89,96).  That binary is an
+optional external dependency here (see codec/gpcc.py for the subprocess
+bridge with identical flags); this module is the self-contained default:
+a breadth-first octree over Morton (z-order) keys whose occupancy bytes are
+coded by the native context-adaptive binary range coder, each node's byte
+conditioned on its parent's occupancy byte.
+
+Morton keys make the whole codec a handful of vectorized numpy passes:
+sorted Morton order groups children of a parent contiguously, so level
+construction is `unique` + `reduceat`, and decoding is bit-expansion that
+emits children already sorted.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import List, Tuple
+
+import numpy as np
+
+from pcgcv2_tpu.codec import native
+
+_N_CTX = 257  # 1 root context + 256 parent-byte contexts
+MAGIC = b"PCOC"
+
+
+def _part1by2(v: np.ndarray) -> np.ndarray:
+    v = v.astype(np.uint64) & np.uint64(0x1FFFFF)
+    v = (v | (v << np.uint64(32))) & np.uint64(0x1F00000000FFFF)
+    v = (v | (v << np.uint64(16))) & np.uint64(0x1F0000FF0000FF)
+    v = (v | (v << np.uint64(8))) & np.uint64(0x100F00F00F00F00F)
+    v = (v | (v << np.uint64(4))) & np.uint64(0x10C30C30C30C30C3)
+    v = (v | (v << np.uint64(2))) & np.uint64(0x1249249249249249)
+    return v
+
+
+def _compact1by2(v: np.ndarray) -> np.ndarray:
+    v = v.astype(np.uint64) & np.uint64(0x1249249249249249)
+    v = (v ^ (v >> np.uint64(2))) & np.uint64(0x10C30C30C30C30C3)
+    v = (v ^ (v >> np.uint64(4))) & np.uint64(0x100F00F00F00F00F)
+    v = (v ^ (v >> np.uint64(8))) & np.uint64(0x1F0000FF0000FF)
+    v = (v ^ (v >> np.uint64(16))) & np.uint64(0x1F00000000FFFF)
+    v = (v ^ (v >> np.uint64(32))) & np.uint64(0x1FFFFF)
+    return v
+
+
+def morton_encode(coords: np.ndarray) -> np.ndarray:
+    """[N, 3] non-negative ints -> [N] uint64 Morton keys (x highest)."""
+    x, y, z = coords[:, 0], coords[:, 1], coords[:, 2]
+    return (
+        (_part1by2(x) << np.uint64(2))
+        | (_part1by2(y) << np.uint64(1))
+        | _part1by2(z)
+    )
+
+
+def morton_decode(keys: np.ndarray) -> np.ndarray:
+    x = _compact1by2(keys >> np.uint64(2))
+    y = _compact1by2(keys >> np.uint64(1))
+    z = _compact1by2(keys)
+    return np.stack([x, y, z], axis=1).astype(np.int32)
+
+
+def _build_levels(leaf_keys: np.ndarray, depth: int):
+    """Bottom-up occupancy pyramid: [(nodes, bytes)] root-first."""
+    levels: List[Tuple[np.ndarray, np.ndarray]] = []
+    ks = leaf_keys
+    for _ in range(depth):
+        parents = ks >> np.uint64(3)
+        slots = (ks & np.uint64(7)).astype(np.uint8)
+        first = np.concatenate([[True], parents[1:] != parents[:-1]])
+        starts = np.flatnonzero(first)
+        occ = np.bitwise_or.reduceat(
+            (np.uint8(1) << slots).astype(np.uint8), starts
+        )
+        nodes = parents[starts]
+        levels.append((nodes, occ))
+        ks = nodes
+    assert len(ks) == 1 and int(ks[0]) == 0, "octree did not reduce to root"
+    levels.reverse()
+    return levels
+
+
+def encode(coords: np.ndarray) -> bytes:
+    """Losslessly encode unique non-negative int coordinates [N, 3]."""
+    assert coords.ndim == 2 and coords.shape[1] == 3
+    assert (coords >= 0).all(), "octree codec needs non-negative coords"
+    keys = np.unique(morton_encode(coords))
+    n = len(keys)
+    max_c = int(coords.max()) if n else 0
+    depth = max(1, max_c.bit_length())
+
+    levels = _build_levels(keys, depth)
+    enc = native.AdaptiveByteEncoder(_N_CTX)
+    for d, (nodes, occ) in enumerate(levels):
+        if d == 0:
+            ctx = np.zeros(len(occ), dtype=np.uint32)
+        else:
+            pnodes, pocc = levels[d - 1]
+            pidx = np.searchsorted(pnodes, nodes >> np.uint64(3))
+            ctx = 1 + pocc[pidx].astype(np.uint32)
+        enc.write(occ, ctx)
+    payload = enc.finish()
+    header = MAGIC + struct.pack("<BI", depth, n)
+    return header + payload
+
+
+def decode(data: bytes) -> np.ndarray:
+    """Inverse of `encode`: returns sorted unique [N, 3] int32 coords."""
+    assert data[:4] == MAGIC, "bad octree stream"
+    depth, n = struct.unpack("<BI", data[4:9])
+    dec = native.AdaptiveByteDecoder(data[9:], _N_CTX)
+    nodes = np.zeros(1, dtype=np.uint64)
+    ctx = np.zeros(1, dtype=np.uint32)
+    occ = dec.read(ctx)
+    for _ in range(depth - 1):
+        bits = ((occ[:, None] >> np.arange(8, dtype=np.uint8)) & 1).astype(bool)
+        child = (nodes[:, None] * np.uint64(8) + np.arange(8, dtype=np.uint64))[
+            bits
+        ]
+        ctx = 1 + np.repeat(occ, bits.sum(axis=1)).astype(np.uint32)
+        occ = dec.read(ctx)
+        nodes = child
+    # final level: expand leaves
+    bits = ((occ[:, None] >> np.arange(8, dtype=np.uint8)) & 1).astype(bool)
+    leaves = (nodes[:, None] * np.uint64(8) + np.arange(8, dtype=np.uint64))[bits]
+    dec.close()
+    assert len(leaves) == n, f"decoded {len(leaves)} leaves, expected {n}"
+    return morton_decode(leaves)

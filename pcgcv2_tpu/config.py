@@ -1,0 +1,96 @@
+"""Configuration dataclasses — the framework's single public knob surface.
+
+The reference scatters hyperparameters across argparse defaults and hardcoded
+constants (train.py:10-30, pcc_model.py:11-13, entropy_model.py:49); here they
+live in typed, hashable dataclasses.  `CapacityPlan` is TPU-specific and has
+no reference counterpart: XLA requires static shapes, so every scale of the
+sparse pyramid gets a fixed row capacity (bucketed padding), chosen per
+dataset/input size.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Tuple
+
+
+def _round_up(n: int, m: int) -> int:
+    return int(math.ceil(n / m)) * m
+
+
+@dataclasses.dataclass(frozen=True)
+class CapacityPlan:
+    """Static row capacities for each scale of the 3-level sparse pyramid.
+
+    input  : capacity at full resolution (the collated batch's voxel count)
+    scale1 : after the first stride-2 down-conv
+    scale2 : after the second
+    scale3 : bottleneck (stride 8)
+    train_slack : during training, pruning keeps top-k UNION ground truth
+        (ref autoencoder.py:241-244), which can approach 2x the true count.
+    """
+
+    input: int
+    scale1: int
+    scale2: int
+    scale3: int
+    train_slack: int = 2
+
+    @classmethod
+    def for_points(
+        cls,
+        n_points: int,
+        ratios: Tuple[float, float, float] = (0.65, 0.4, 0.22),
+        round_to: int = 1024,
+        slack: float = 1.15,
+    ) -> "CapacityPlan":
+        """Plan for a batch totalling ~n_points voxels.
+
+        Default ratios are conservative upper bounds on the per-downsample
+        survival rate of dense surface scans (each 2x downsample of a 2-D
+        surface in 3-D keeps ~25-60% of voxels depending on local density).
+        """
+        c0 = _round_up(int(n_points * slack), round_to)
+        c1 = _round_up(int(n_points * ratios[0] * slack), round_to)
+        c2 = _round_up(int(n_points * ratios[1] * slack), round_to)
+        c3 = _round_up(int(n_points * ratios[2] * slack), round_to)
+        return cls(input=c0, scale1=c1, scale2=c2, scale3=c3)
+
+    @property
+    def encoder_caps(self) -> Tuple[int, int, int]:
+        return (self.scale1, self.scale2, self.scale3)
+
+    def decoder_caps(self, training: bool) -> Tuple[int, int, int]:
+        """Post-prune capacities for the three decode stages (coarse->fine)."""
+        f = self.train_slack if training else 1
+        k2 = min(8 * self.scale3, f * self.scale2)
+        k1 = min(8 * k2, f * self.scale1)
+        k0 = min(8 * k1, f * self.input)
+        return (k2, k1, k0)
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    """Architecture knobs (ref defaults: pcc_model.py:11-13)."""
+
+    enc_channels: Tuple[int, ...] = (1, 16, 32, 64, 32, 8)
+    dec_channels: Tuple[int, ...] = (8, 64, 32, 16)
+    blocks_per_scale: int = 3
+    entropy_filters: Tuple[int, ...] = (3, 3, 3)
+    entropy_init_scale: float = 8.0
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """Training recipe (ref train.py:10-30, trainer.py:56-62,134)."""
+
+    alpha: float = 1.0          # distortion weight
+    beta: float = 1.0           # rate weight
+    lr: float = 8e-4
+    weight_decay: float = 1e-4  # torch Adam-style (L2 added to grads)
+    batch_size: int = 8
+    epochs: int = 50
+    lr_min: float = 1e-5        # per-epoch halving floor (ref train.py:70)
+    check_time: float = 10.0    # minutes between mid-epoch snapshots
+    reset_optimizer_each_epoch: bool = True  # ref quirk (trainer.py:112)

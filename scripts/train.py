@@ -1,0 +1,8 @@
+#!/usr/bin/env python
+"""Thin launcher for pcgcv2_tpu.cli.train (run from the repo root)."""
+import os, sys
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+from pcgcv2_tpu.cli.train import main
+
+if __name__ == "__main__":
+    main()

@@ -10,7 +10,6 @@ process, which is why they live at conftest import time.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -20,6 +19,15 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+
+# Force CPU: the deployment image boots an axon TPU plugin from
+# sitecustomize.py and pins JAX_PLATFORMS=axon, so the env var is not enough
+# — the config update below overrides it before the first backend query.
+# The suite must run on the virtual 8-device CPU platform.
+jax.config.update("jax_platforms", "cpu")
+assert jax.devices()[0].platform == "cpu", (
+    "tests must run on CPU; got " + jax.devices()[0].platform
+)
 
 # Verify numerics at full f32 precision; production runs use the backend
 # default (bf16 MXU passes on TPU) — a deliberate speed/precision trade,

@@ -1,0 +1,126 @@
+"""End-to-end codec round-trip tests (the reference has none — SURVEY.md §4)."""
+
+import jax
+import numpy as np
+import optax
+import pytest
+
+from pcgcv2_tpu.codec.coder import Coder
+from pcgcv2_tpu.config import CapacityPlan
+from pcgcv2_tpu.data.synthetic import sphere_cloud
+from pcgcv2_tpu.data.voxelize import collate
+from pcgcv2_tpu.models import PCCModel
+from pcgcv2_tpu.train.loss import rd_loss
+
+
+@pytest.fixture(scope="module")
+def ctx(tmp_path_factory):
+    """Shared Coder (jit caches live per instance) + raw and briefly-trained
+    params."""
+    train_cloud = sphere_cloud(32, density=1.5, seed=7)
+    x = collate([train_cloud], capacity=2048)
+    plan = CapacityPlan(2048, 1024, 512, 256)
+    model = PCCModel(plan=plan, num_batches=1)
+    params = jax.jit(
+        lambda k1, k2: model.init({"params": k1, "noise": k2}, x, True)
+    )(jax.random.PRNGKey(0), jax.random.PRNGKey(1))
+
+    tx = optax.adam(8e-4)
+    opt = tx.init(params)
+
+    @jax.jit
+    def step(p, opt, rng):
+        def loss_fn(p):
+            out = model.apply(p, x, True, rngs={"noise": rng})
+            return rd_loss(out, x, alpha=4.0, beta=1.0)["loss"]
+
+        loss, g = jax.value_and_grad(loss_fn)(p)
+        up, opt = tx.update(g, opt)
+        return optax.apply_updates(p, up), opt, loss
+
+    trained = params
+    rng = jax.random.PRNGKey(9)
+    for _ in range(30):
+        rng, sub = jax.random.split(rng)
+        trained, opt, _ = step(trained, opt, sub)
+
+    out = tmp_path_factory.mktemp("codec")
+    coder = Coder(
+        params, str(out / "frame"),
+        input_granularity=4096, prune_granularity=512,
+    )
+    return dict(
+        coder=coder, params=params, trained=trained,
+        train_cloud=train_cloud,
+    )
+
+
+def test_roundtrip_bottleneck_exact(ctx):
+    """The decoder must rebuild the encoder's quantized bottleneck exactly —
+    the bitstream invertibility contract (ref coder.py:80-112)."""
+    cloud = sphere_cloud(48, density=1.5, seed=3)
+    coder = ctx["coder"]
+    y = coder.encode(cloud, postfix="_bx")
+    ny = int(y.count)
+    enc_feats = np.round(np.asarray(y.feats)[:ny])
+    enc_coords = np.asarray(y.coords)[:ny, 1:]
+
+    dec_coords = coder.coordinate_coder.decode("_bx")
+    order = np.lexsort((dec_coords[:, 2], dec_coords[:, 1], dec_coords[:, 0]))
+    dec_coords = dec_coords[order] * 8
+    dec_feats = coder.feature_coder.decode("_bx")
+
+    np.testing.assert_array_equal(dec_coords, enc_coords)
+    np.testing.assert_array_equal(dec_feats, enc_feats)
+
+
+def test_roundtrip_output_counts(ctx):
+    cloud = sphere_cloud(48, density=1.5, seed=4)
+    coder = ctx["coder"]
+    coder.encode(cloud, postfix="_rc")
+    out = coder.decode(rho=1.0, postfix="_rc")
+    assert out.shape == (len(cloud), 3)
+    assert len(np.unique(out, axis=0)) == len(out)
+    assert (out >= 0).all() and (out < 64).all()
+    out2 = coder.decode(rho=1.0, postfix="_rc")
+    np.testing.assert_array_equal(out, out2)
+
+
+def test_rho_density_knob(ctx):
+    """rho scales only the final-scale point count (ref coder.py:107)."""
+    cloud = sphere_cloud(48, density=1.5, seed=5)
+    coder = ctx["coder"]
+    coder.encode(cloud, postfix="_rh")
+    half = coder.decode(rho=0.5, postfix="_rh")
+    assert len(half) == len(cloud) // 2
+    dense = coder.decode(rho=1.5, postfix="_rh")
+    assert len(dense) == int(1.5 * len(cloud))
+
+
+def test_bitstream_files_exist(ctx):
+    cloud = sphere_cloud(32, density=1.0, seed=6)
+    coder = ctx["coder"]
+    coder.encode(cloud, postfix="_r1")
+    sizes = coder.bitstream_bytes(postfix="_r1")
+    assert set(sizes) == {"_C.bin", "_F.bin", "_H.bin", "_num_points.bin"}
+    assert sizes["_num_points.bin"] == 12
+    assert sizes["_H.bin"] == 8 + 1 + 4 + 4  # ref header layout coder.py:51-55
+    assert sizes["_C.bin"] > 0
+
+
+def test_trained_model_reconstructs(ctx):
+    """After brief training on one cloud, the codec round-trip must
+    reconstruct most of that cloud's voxels (encode->bits->decode)."""
+    coder, cloud = ctx["coder"], ctx["train_cloud"]
+    old = coder.params
+    try:
+        coder.params = ctx["trained"]
+        coder.encode(cloud, postfix="_tr")
+        out = coder.decode(postfix="_tr")
+    finally:
+        coder.params = old
+    assert len(out) == len(cloud)
+    gt = {tuple(r) for r in cloud}
+    got = {tuple(r) for r in out}
+    iou = len(gt & got) / len(gt | got)
+    assert iou > 0.3, f"IoU {iou:.3f} too low — codec not learning"

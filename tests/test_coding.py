@@ -1,0 +1,86 @@
+"""Bitstream primitive tests: rANS round-trip, CDF quantization, octree."""
+
+import numpy as np
+import pytest
+
+from pcgcv2_tpu.codec import native, octree
+
+
+def test_native_builds():
+    assert native.available(), "g++ build of libpcgc_coding.so failed"
+
+
+def test_quantize_cdf_properties(rng):
+    pmf = rng.rand(8, 33).astype(np.float64) + 1e-9
+    cdf = native.quantize_cdf(pmf)
+    assert cdf.shape == (8, 34)
+    assert (cdf[:, 0] == 0).all()
+    assert (cdf[:, -1] == 1 << 16).all()
+    assert (np.diff(cdf.astype(np.int64), axis=1) >= 1).all()
+
+
+@pytest.mark.parametrize("n,channels,nsym", [(1000, 8, 17), (64, 3, 2), (5, 1, 300)])
+def test_rans_roundtrip(rng, n, channels, nsym):
+    pmf = rng.rand(channels, nsym) ** 3 + 1e-9
+    cdf = native.quantize_cdf(pmf)
+    syms = rng.randint(0, nsym, size=n * channels).astype(np.int32)
+    blob = native.rans_encode(cdf, syms)
+    out = native.rans_decode(cdf, blob, len(syms))
+    np.testing.assert_array_equal(out, syms)
+
+
+def test_rans_matches_python_fallback(rng):
+    """C++ and pure-Python rANS must be bit-exact with each other."""
+    pmf = rng.rand(4, 9) + 1e-9
+    cdf = native.quantize_cdf(pmf)
+    syms = rng.randint(0, 9, size=200).astype(np.int32)
+    blob_c = native.rans_encode(cdf, syms)
+    blob_py = native._py_rans_encode(cdf, syms)
+    assert blob_c == blob_py
+    out = native._py_rans_decode(cdf, blob_c, len(syms))
+    np.testing.assert_array_equal(out, syms)
+
+
+def test_rans_skewed_distribution(rng):
+    """Near-deterministic symbols compress far below 1 byte/symbol."""
+    pmf = np.full((2, 65), 1e-9)
+    pmf[:, 32] = 1.0
+    cdf = native.quantize_cdf(pmf)
+    syms = np.full(10000, 32, dtype=np.int32)
+    blob = native.rans_encode(cdf, syms)
+    assert len(blob) < 100  # ~0.0002 bits/sym
+    np.testing.assert_array_equal(native.rans_decode(cdf, blob, 10000), syms)
+
+
+def test_morton_roundtrip(rng):
+    coords = rng.randint(0, 1 << 14, size=(1000, 3)).astype(np.int64)
+    keys = octree.morton_encode(coords)
+    back = octree.morton_decode(keys)
+    np.testing.assert_array_equal(back, coords)
+
+
+@pytest.mark.parametrize("span", [1, 15, 100, 1023])
+def test_octree_roundtrip(rng, span):
+    coords = np.unique(
+        rng.randint(0, span + 1, size=(2000, 3)).astype(np.int32), axis=0
+    )
+    blob = octree.encode(coords)
+    out = octree.decode(blob)
+    want = coords[np.lexsort((coords[:, 2], coords[:, 1], coords[:, 0]))]
+    # octree output is sorted in Morton order; compare as sets
+    assert {tuple(r) for r in out} == {tuple(r) for r in want}
+    assert len(out) == len(want)
+
+
+def test_octree_surface_compression_rate():
+    """A coherent surface must code well below raw occupancy bytes."""
+    from pcgcv2_tpu.data.synthetic import sphere_cloud
+
+    coords = sphere_cloud(256, density=3.0, seed=3)
+    blob = octree.encode(coords)
+    bits_per_point = len(blob) * 8 / len(coords)
+    # raw BFS occupancy bytes cost ~3-4 bits/pt on surfaces; the adaptive
+    # coder with parent contexts should land well under 3.
+    assert bits_per_point < 3.0, bits_per_point
+    out = octree.decode(blob)
+    assert {tuple(r) for r in out} == {tuple(r) for r in coords}
