@@ -1,0 +1,82 @@
+"""Headline benchmark: single-frame encode+decode wall-clock, vox10 class.
+
+Baseline: reference PCGCv2 (CUDA + MinkowskiEngine) longdress_vox10_1300 at
+r3 — enc 0.275 s + dec 0.951 s = 1.226 s/frame for 857,966 points
+(BASELINE.md, results/longdress_vox10_1300.csv row r3).  We time the same
+pipeline (analysis transform -> rANS feature coding + coordinate coding ->
+synthesis transform with top-k pruning) on a synthetic vox10-class surface
+(~850k voxels @ res 1024) with an untrained model — the network compute is
+identical regardless of weights.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where
+vs_baseline > 1.0 means faster than the reference.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+BASELINE_S = 1.226  # ref enc+dec s/frame, longdress vox10 @ r3
+
+
+def main() -> None:
+    import jax
+
+    from pcgcv2_tpu.codec.coder import Coder
+    from pcgcv2_tpu.config import CapacityPlan
+    from pcgcv2_tpu.data.synthetic import torus_cloud
+    from pcgcv2_tpu.data.voxelize import collate
+    from pcgcv2_tpu.models import PCCModel
+
+    # ~857k voxels in a 1024^3 box — the longdress_vox10 size class (a res-684
+    # torus surface sits inside the vox10 coordinate space)
+    cloud = torus_cloud(684, density=4.0, seed=0)
+    n = len(cloud)
+    print(f"# bench cloud: {n} voxels @ res 1024", file=sys.stderr)
+
+    # init params at a small plan (weights are shape-independent of the plan)
+    small = collate([cloud[:2048]], capacity=2048)
+    model = PCCModel(plan=CapacityPlan(2048, 2048, 1024, 512), num_batches=1)
+    params = model.init(
+        {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)},
+        small, True,
+    )
+
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        coder = Coder(params, td + "/frame")
+
+        # warm-up: compile both directions
+        coder.encode(cloud, postfix="_w")
+        coder.decode(postfix="_w")
+
+        reps = 3
+        best = float("inf")
+        for i in range(reps):
+            t0 = time.perf_counter()
+            coder.encode(cloud, postfix=f"_{i}")
+            t1 = time.perf_counter()
+            coder.decode(postfix=f"_{i}")
+            t2 = time.perf_counter()
+            total = t2 - t0
+            print(
+                f"# rep {i}: enc {t1 - t0:.3f}s dec {t2 - t1:.3f}s",
+                file=sys.stderr,
+            )
+            best = min(best, total)
+
+    print(json.dumps({
+        "metric": "enc_dec_s_per_vox10_frame",
+        "value": round(best, 4),
+        "unit": "s",
+        "vs_baseline": round(BASELINE_S / best, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -22,7 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 from jax.sharding import PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from pcgcv2_tpu import ops
 from pcgcv2_tpu.config import CapacityPlan
@@ -99,6 +99,6 @@ def make_dp_train_step(
         mesh=mesh,
         in_specs=(P(), P(), P(DP_AXIS), P(DP_AXIS), P()),
         out_specs=(P(), P(), P()),
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(sharded)

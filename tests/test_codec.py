@@ -17,7 +17,7 @@ from pcgcv2_tpu.train.loss import rd_loss
 def ctx(tmp_path_factory):
     """Shared Coder (jit caches live per instance) + raw and briefly-trained
     params."""
-    train_cloud = sphere_cloud(32, density=1.5, seed=7)
+    train_cloud = sphere_cloud(32, density=1.2, seed=7)
     x = collate([train_cloud], capacity=2048)
     plan = CapacityPlan(2048, 1024, 512, 256)
     model = PCCModel(plan=plan, num_batches=1)
