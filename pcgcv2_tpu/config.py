@@ -71,6 +71,59 @@ class CapacityPlan:
 
 
 @dataclasses.dataclass(frozen=True)
+class BlockPlan:
+    """Static capacities for the dense-block backend (ops/blocks.py).
+
+    res : full-resolution coordinate bound (power of two; voxel coords in
+          [0, res)).  Static because the block lookup grid is dense.
+    nb  : block-count capacities at strides (1, 2, 4, 8) — the 4 scales of
+          the 3-level pyramid.  Each 8^3-block capacity bounds the number of
+          *occupied* blocks at that scale; surface scans occupy roughly
+          N/50 blocks at full resolution and ~1/4 of that per downsample.
+    dec_nb : post-compaction block caps for the three decoder stages
+          (coarse->fine, i.e. strides 4, 2, 1 after each generative
+          up-convolution + prune).  Defaults to 2x the encoder caps: the
+          training prune keeps top-k UNION ground truth
+          (ref autoencoder.py:241-244) and rho-densified decoding can keep
+          more blocks alive than the clean geometry would.
+    """
+
+    res: int
+    nb: Tuple[int, int, int, int]
+    dec_nb: Tuple[int, int, int] = ()
+
+    def __post_init__(self):
+        if not self.dec_nb:
+            object.__setattr__(
+                self, "dec_nb",
+                (2 * self.nb[2], 2 * self.nb[1], 2 * self.nb[0]),
+            )
+
+    @classmethod
+    def for_cloud(
+        cls,
+        n_points: int,
+        res: int,
+        blocks_per_point: float = 1 / 40,
+        round_to: int = 512,
+        slack: float = 1.3,
+    ) -> "BlockPlan":
+        """Plan for a frame of ~n_points voxels at `res` (codec path)."""
+        nb0 = max(round_to, _round_up(
+            int(n_points * blocks_per_point * slack), round_to))
+        ratios = (1.0, 0.35, 0.15, 0.08)
+        nb = tuple(
+            max(round_to, _round_up(int(nb0 * r), round_to)) for r in ratios
+        )
+        return cls(res=res, nb=nb)
+
+    def up_cap(self, stage: int) -> int:
+        """Pre-prune cap for decoder stage `stage` (0 = stride 8 -> 4)."""
+        prev = self.nb[3] if stage == 0 else self.dec_nb[stage - 1]
+        return 8 * prev
+
+
+@dataclasses.dataclass(frozen=True)
 class ModelConfig:
     """Architecture knobs (ref defaults: pcc_model.py:11-13)."""
 

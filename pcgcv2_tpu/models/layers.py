@@ -1,9 +1,11 @@
-"""Flax layers over SparseVoxels: thin parameterized wrappers of ops.sparse.
+"""Flax layers over BlockGrid — thin parameterized wrappers of ops.blocks.
 
 Each layer mirrors one MinkowskiEngine op used by the reference network
-(autoencoder.py) but takes explicit, reusable kernel maps — the TPU-first
-restructuring that lets all stride-1 convolutions at a scale share a single
-searchsorted pass.
+(/root/reference/autoencoder.py) on the dense-block backend: 3^3 convs are
+halo-assembled MXU convolutions, scale changes are reshape+matmul block
+splits/merges, and 1^3 convs are plain per-slot projections.  All stride-1
+convs at a scale share one `neighbor_rows` map (ME rebuilds these inside its
+coordinate manager; here reuse is explicit in the model code).
 """
 
 from __future__ import annotations
@@ -12,79 +14,83 @@ from flax import linen as nn
 import jax
 import jax.numpy as jnp
 
-from pcgcv2_tpu import ops
-from pcgcv2_tpu.ops.sparse import SparseVoxels
+from pcgcv2_tpu.ops import blocks as B
+from pcgcv2_tpu.ops.blocks import BlockGrid
 
-# He-uniform over fan_in = kernel_volume * Cin, the standard init for
-# ReLU conv stacks (param shape [K, Cin, Cout] -> flax computes
-# fan_in = K * Cin automatically).
+# He-uniform over fan_in = kernel_volume * Cin (standard for ReLU stacks).
 kernel_init = nn.initializers.variance_scaling(2.0, "fan_in", "uniform")
 
 
-def relu(sv: SparseVoxels) -> SparseVoxels:
-    return sv.with_feats(jax.nn.relu(sv.feats))
+def relu(bg: BlockGrid) -> BlockGrid:
+    return bg.with_feats(jax.nn.relu(bg.feats))
 
 
-class SpConv3(nn.Module):
-    """3x3x3 stride-1 sparse conv using a prebuilt kernel map
-    (ref ME.MinkowskiConvolution(kernel_size=3, stride=1))."""
+class BConv3(nn.Module):
+    """3^3 stride-1 sparse conv (ref ME.MinkowskiConvolution kernel_size=3,
+    autoencoder.py:13) using a prebuilt block-neighbor map."""
 
     features: int
-    group_size: int = 9
 
     @nn.compact
-    def __call__(self, sv: SparseVoxels, kmap) -> SparseVoxels:
-        w = self.param("kernel", kernel_init, (27, sv.channels, self.features))
+    def __call__(self, bg: BlockGrid, nbrs) -> BlockGrid:
+        w = self.param(
+            "kernel", kernel_init, (3, 3, 3, bg.channels, self.features)
+        )
         b = self.param("bias", nn.initializers.zeros, (self.features,))
-        return ops.conv(sv, kmap, w, b, group_size=self.group_size)
+        return B.conv3(bg, nbrs, w, b)
 
 
-class SpConv1(nn.Module):
-    """1x1x1 conv — a per-voxel dense projection (ref kernel_size=1 convs in
-    InceptionResNet, autoencoder.py:28-48)."""
+class BConv1(nn.Module):
+    """1^3 conv — per-voxel dense projection (ref InceptionResNet 1^3 convs,
+    autoencoder.py:28-48)."""
 
     features: int
 
     @nn.compact
-    def __call__(self, sv: SparseVoxels) -> SparseVoxels:
-        w = self.param("kernel", kernel_init, (1, sv.channels, self.features))
+    def __call__(self, bg: BlockGrid) -> BlockGrid:
+        w = self.param(
+            "kernel", kernel_init, (1, bg.channels, self.features)
+        )
         b = self.param("bias", nn.initializers.zeros, (self.features,))
         out = (
-            jnp.dot(sv.feats, w[0], preferred_element_type=jnp.float32)
+            jnp.dot(
+                bg.feats.reshape(-1, bg.channels), w[0],
+                preferred_element_type=jnp.float32,
+            ).reshape(bg.nb_cap, B.VOL, self.features)
             + b
-        ).astype(sv.feats.dtype)
-        return sv.with_feats(out)
+        ).astype(bg.feats.dtype)
+        return bg.with_feats(out)
 
 
-class SpConvDown(nn.Module):
-    """2x2x2 stride-2 down-convolution (ref ME.MinkowskiConvolution
-    kernel_size=2, stride=2, autoencoder.py:78)."""
+class BConvDown(nn.Module):
+    """2^3 stride-2 down-convolution (ref autoencoder.py:78)."""
 
     features: int
-    out_capacity: int
+    out_cap: int
 
     @nn.compact
-    def __call__(self, sv: SparseVoxels) -> SparseVoxels:
-        w = self.param("kernel", kernel_init, (8, sv.channels, self.features))
+    def __call__(self, bg: BlockGrid) -> BlockGrid:
+        w = self.param("kernel", kernel_init, (8, bg.channels, self.features))
         b = self.param("bias", nn.initializers.zeros, (self.features,))
-        return ops.conv_down(sv, w, b, self.out_capacity)
+        return B.conv_down(bg, w, b, self.out_cap)
 
 
-class SpGenUp(nn.Module):
+class BGenUp(nn.Module):
     """Generative transposed conv, kernel=2 stride=2 — emits all 8 children
-    per parent (ref ME.MinkowskiGenerativeConvolutionTranspose,
+    per voxel (ref ME.MinkowskiGenerativeConvolutionTranspose,
     autoencoder.py:155)."""
 
     features: int
+    out_cap: int
 
     @nn.compact
-    def __call__(self, sv: SparseVoxels) -> SparseVoxels:
-        w = self.param("kernel", kernel_init, (8, sv.channels, self.features))
+    def __call__(self, bg: BlockGrid) -> BlockGrid:
+        w = self.param("kernel", kernel_init, (8, bg.channels, self.features))
         b = self.param("bias", nn.initializers.zeros, (self.features,))
-        return ops.conv_up_generative(sv, w, b)
+        return B.conv_up_generative(bg, w, b, self.out_cap)
 
 
-class InceptionResNet(nn.Module):
+class BInceptionResNet(nn.Module):
     """Two-branch inception residual block (ref autoencoder.py:7-57).
 
     branch0: 3^3 conv (ch -> ch/4) -> relu -> 3^3 conv (-> ch/2)
@@ -95,12 +101,12 @@ class InceptionResNet(nn.Module):
     channels: int
 
     @nn.compact
-    def __call__(self, sv: SparseVoxels, kmap) -> SparseVoxels:
+    def __call__(self, bg: BlockGrid, nbrs) -> BlockGrid:
         ch = self.channels
-        out0 = SpConv3(ch // 4, name="conv0_0")(sv, kmap)
-        out0 = SpConv3(ch // 2, name="conv0_1")(relu(out0), kmap)
-        out1 = SpConv1(ch // 4, name="conv1_0")(sv)
-        out1 = SpConv3(ch // 4, name="conv1_1")(relu(out1), kmap)
-        out1 = SpConv1(ch // 2, name="conv1_2")(relu(out1))
+        out0 = BConv3(ch // 4, name="conv0_0")(bg, nbrs)
+        out0 = BConv3(ch // 2, name="conv0_1")(relu(out0), nbrs)
+        out1 = BConv1(ch // 4, name="conv1_0")(bg)
+        out1 = BConv3(ch // 4, name="conv1_1")(relu(out1), nbrs)
+        out1 = BConv1(ch // 2, name="conv1_2")(relu(out1))
         merged = jnp.concatenate([out0.feats, out1.feats], axis=-1)
-        return sv.with_feats(merged + sv.feats)
+        return bg.with_feats(merged + bg.feats)

@@ -1,42 +1,44 @@
 """PCCModel — encoder + factorized entropy bottleneck + decoder
-(ref /root/reference/pcc_model.py)."""
+(ref /root/reference/pcc_model.py), on the dense-block backend.
+
+The model consumes raw padded voxel rows (coords [N,4], valid [N]) — no
+pre-sorting is required; `ops.blocks.blockify` builds the block structure on
+device.  The forward pass returns the same payload as the reference
+(pcc_model.py:41-45): per-scale pre-prune occupancy logits, the quantized
+prior, feature likelihoods (dense, mask-aware), and the ground-truth
+occupancy pyramid.
+"""
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional
+from typing import Any, Dict, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from pcgcv2_tpu.config import CapacityPlan, ModelConfig
+from pcgcv2_tpu.config import BlockPlan, ModelConfig
 from pcgcv2_tpu.models.autoencoder import Decoder, Encoder
 from pcgcv2_tpu.models.entropy import EntropyBottleneck
-from pcgcv2_tpu.ops.sparse import SparseVoxels
+from pcgcv2_tpu.ops import blocks as B
+from pcgcv2_tpu.ops.blocks import BlockGrid
 
 
 class PCCModel(nn.Module):
-    """Full compression model.
-
-    forward returns the same payload as the reference (pcc_model.py:41-45):
-    reconstructed tensor, per-scale pre-prune occupancy logits, the quantized
-    prior, feature likelihoods, and the ground-truth pyramid.
-    """
-
     config: ModelConfig = ModelConfig()
-    plan: CapacityPlan = CapacityPlan(8192, 8192, 4096, 2048)
+    plan: BlockPlan = BlockPlan(res=128, nb=(2048, 1024, 512, 256))
     num_batches: int = 1
 
     def setup(self):
         self.encoder = Encoder(
             channels=self.config.enc_channels,
-            caps=self.plan.encoder_caps,
+            plan=self.plan,
             blocks=self.config.blocks_per_scale,
         )
         self.decoder = Decoder(
             channels=self.config.dec_channels,
+            plan=self.plan,
             blocks=self.config.blocks_per_scale,
-            num_batches=self.num_batches,
         )
         self.entropy_bottleneck = EntropyBottleneck(
             channels=self.config.enc_channels[-1],
@@ -44,52 +46,64 @@ class PCCModel(nn.Module):
             init_scale=self.config.entropy_init_scale,
         )
 
+    def blockify(self, coords: jax.Array, valid: jax.Array) -> BlockGrid:
+        """Padded voxel rows -> full-resolution BlockGrid (feats = mask)."""
+        bg = B.blockify(
+            coords, valid[:, None].astype(jnp.float32), valid,
+            self.plan.nb[0], stride=1, res=self.plan.res,
+            num_batches=self.num_batches,
+        )
+        return bg
+
     def __call__(
-        self, x: SparseVoxels, training: bool = True, rng: Optional[jax.Array] = None
+        self,
+        coords: jax.Array,
+        valid: jax.Array,
+        training: bool = True,
+        rng: Optional[jax.Array] = None,
     ) -> Dict[str, Any]:
+        x = self.blockify(coords, valid)
         y, out1, out0 = self.encoder(x)
         ground_truth_list = [out1, out0, x]
-        nums_list = [
-            gt.num_per_batch(self.num_batches) for gt in ground_truth_list
-        ]
+        nums_list = [gt.voxels_per_batch() for gt in ground_truth_list]
 
         mode = "noise" if training else "symbols"
         if training and rng is None:
             rng = self.make_rng("noise")
-        y_f, likelihood = self.entropy_bottleneck(y.feats, mode, rng)
-        # padding rows carry no information: force likelihood 1 (zero bits)
-        likelihood = jnp.where(y.valid[:, None], likelihood, 1.0)
-        y_q = y.with_feats(y_f)
+        y_f, likelihood = self.entropy_bottleneck(
+            y.feats.reshape(-1, y.channels), mode, rng
+        )
+        # unoccupied slots carry no information: force likelihood 1 (0 bits)
+        occ = y.mask.reshape(-1, 1)
+        likelihood = jnp.where(occ, likelihood, 1.0)
+        y_q = y.with_feats(y_f.reshape(y.nb_cap, B.VOL, y.channels))
 
         out_cls_list, out = self.decoder(
-            y_q,
-            nums_list,
-            [gt.keys for gt in ground_truth_list] if training else None,
-            self.plan.decoder_caps(training),
+            y_q, nums_list,
+            ground_truth_list if training else None,
             training,
         )
         return {
             "out": out,
             "out_cls_list": out_cls_list,
             "prior": y_q,
-            "likelihood": likelihood,
+            "likelihood": likelihood.reshape(y.nb_cap, B.VOL, y.channels),
             "ground_truth_list": ground_truth_list,
             "nums_list": nums_list,
         }
 
     # --- codec entry points (used by pcgcv2_tpu.codec.coder) ---------------
 
-    def encode_fn(self, x: SparseVoxels):
-        """Analysis transform only: returns (y, per-scale GT counts)."""
+    def encode_fn(self, coords: jax.Array, valid: jax.Array):
+        """Analysis transform only: (bottleneck grid, per-scale GT counts)."""
+        x = self.blockify(coords, valid)
         y, out1, out0 = self.encoder(x)
-        nums = [
-            gt.num_per_batch(self.num_batches) for gt in [out1, out0, x]
-        ]
+        nums = [gt.voxels_per_batch() for gt in [out1, out0, x]]
         return y, nums
 
-    def decode_fn(self, y_q: SparseVoxels, nums_list, prune_caps):
+    def decode_fn(self, y_q: BlockGrid, nums_list: Sequence[jax.Array]):
         """Synthesis transform from a decoded bottleneck (ref coder.py:110)."""
-        _, out = self.decoder(y_q, nums_list, None, prune_caps, False)
+        _, out = self.decoder(y_q, nums_list, None, False)
         return out
 
     def pmf_fn(self, min_v, max_v_static: int):

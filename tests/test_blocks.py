@@ -1,0 +1,255 @@
+"""Dense-block backend vs the sparse reference ops (tests/test_sparse.py's
+brute-force ground truths).  The reference has no tests (SURVEY.md §4); the
+block backend must agree with the sparse ops bit-for-bit on shared semantics.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pcgcv2_tpu.ops import blocks as B
+from pcgcv2_tpu.ops import sparse as S
+
+
+def rand_cloud(rng, n, res, batches=1, stride=1):
+    coords = set()
+    while len(coords) < n:
+        b = rng.randint(0, batches)
+        xyz = tuple(rng.randint(0, res // stride, size=3) * stride)
+        coords.add((b,) + xyz)
+    return np.array(sorted(coords), dtype=np.int32)
+
+
+def make_bg(rng, n=200, res=32, batches=1, channels=4, stride=1, nb_cap=None):
+    coords = rand_cloud(rng, n, res, batches, stride)
+    feats = rng.randn(n, channels).astype(np.float32)
+    nb_cap = nb_cap or 256
+    bg = B.blockify(
+        jnp.asarray(coords), jnp.asarray(feats),
+        jnp.ones((n,), bool), nb_cap,
+        stride=stride, res=res // stride, num_batches=batches,
+    )
+    return bg, coords, feats
+
+
+def rows_of(bg):
+    c, f, cnt = B.extract(bg, bg.nb_cap * B.VOL)
+    cnt = int(cnt)
+    return np.asarray(c)[:cnt], np.asarray(f)[:cnt]
+
+
+def as_dict(coords, feats):
+    return {tuple(c): f for c, f in zip(coords, feats)}
+
+
+def test_blockify_extract_roundtrip(rng):
+    bg, coords, feats = make_bg(rng, n=300, res=32, batches=2)
+    c, f = rows_of(bg)
+    assert int(bg.voxel_count()) == 300
+    got = as_dict(c, f)
+    want = as_dict(coords, feats)
+    assert set(got) == set(want)
+    for k in want:
+        np.testing.assert_array_equal(got[k], want[k])
+    # voxels_per_batch matches
+    np.testing.assert_array_equal(
+        np.asarray(bg.voxels_per_batch()),
+        np.bincount(coords[:, 0], minlength=2),
+    )
+
+
+def test_blockify_strided(rng):
+    bg, coords, feats = make_bg(rng, n=100, res=64, stride=4)
+    c, f = rows_of(bg)
+    assert set(map(tuple, c)) == set(map(tuple, coords))
+
+
+def test_conv3_matches_sparse(rng):
+    n, ch, co = 250, 4, 5
+    coords = rand_cloud(rng, n, 32)
+    feats = rng.randn(n, ch).astype(np.float32)
+    w = (rng.randn(3, 3, 3, ch, co) * 0.2).astype(np.float32)
+    b = rng.randn(co).astype(np.float32)
+
+    bg = B.blockify(
+        jnp.asarray(coords), jnp.asarray(feats), jnp.ones((n,), bool),
+        128, stride=1, res=32, num_batches=1,
+    )
+    nbrs = B.neighbor_rows(bg)
+    out = B.conv3(bg, nbrs, jnp.asarray(w), jnp.asarray(b))
+    c, f = rows_of(out)
+
+    # sparse-op ground truth: weight layout [27, Cin, Cout] with offsets in
+    # x-major (-1,0,1)^3 order == DHWIO kernel spatial order
+    sv = S.build(
+        jnp.asarray(np.pad(coords, ((0, 6), (0, 0)))),
+        jnp.asarray(np.pad(feats, ((0, 6), (0, 0)))), jnp.int32(n),
+    )
+    kmap = S.build_kernel_map(sv, S.stencil_offsets(3, 1))
+    w27 = w.reshape(27, ch, co)
+    ref = S.conv(sv, kmap, jnp.asarray(w27), jnp.asarray(b))
+    nref = int(ref.count)
+    ref_d = as_dict(np.asarray(ref.coords)[:nref], np.asarray(ref.feats)[:nref])
+    got_d = as_dict(c, f)
+    assert set(got_d) == set(ref_d)
+    for k in ref_d:
+        np.testing.assert_allclose(got_d[k], ref_d[k], rtol=1e-4, atol=1e-4)
+
+
+def test_conv3_strided_grid(rng):
+    """conv3 on a stride-4 tensor reaches +-4 neighbors (grid-space halo)."""
+    n, ch = 120, 3
+    coords = rand_cloud(rng, n, 64, stride=4)
+    feats = rng.randn(n, ch).astype(np.float32)
+    w = (rng.randn(3, 3, 3, ch, ch) * 0.2).astype(np.float32)
+    bg = B.blockify(
+        jnp.asarray(coords), jnp.asarray(feats), jnp.ones((n,), bool),
+        128, stride=4, res=16, num_batches=1,
+    )
+    out = B.conv3(bg, B.neighbor_rows(bg), jnp.asarray(w), None)
+    c, f = rows_of(out)
+    sv = S.build(jnp.asarray(coords), jnp.asarray(feats), jnp.int32(n),
+                 stride=4)
+    kmap = S.build_kernel_map(sv, S.stencil_offsets(3, 4))
+    ref = S.conv(sv, kmap, jnp.asarray(w.reshape(27, ch, ch)), None)
+    ref_d = as_dict(
+        np.asarray(ref.coords)[: int(ref.count)],
+        np.asarray(ref.feats)[: int(ref.count)],
+    )
+    got_d = as_dict(c, f)
+    assert set(got_d) == set(ref_d)
+    for k in ref_d:
+        np.testing.assert_allclose(got_d[k], ref_d[k], rtol=1e-4, atol=1e-4)
+
+
+def test_conv_down_matches_sparse(rng):
+    n, ch, co = 250, 4, 6
+    coords = rand_cloud(rng, n, 32)
+    feats = rng.randn(n, ch).astype(np.float32)
+    w = (rng.randn(8, ch, co) * 0.3).astype(np.float32)
+    b = rng.randn(co).astype(np.float32)
+    bg = B.blockify(
+        jnp.asarray(coords), jnp.asarray(feats), jnp.ones((n,), bool),
+        128, stride=1, res=32, num_batches=1,
+    )
+    out = B.conv_down(bg, jnp.asarray(w), jnp.asarray(b), 64)
+    assert out.stride == 2 and out.res == 16
+    c, f = rows_of(out)
+    sv = S.build(jnp.asarray(coords), jnp.asarray(feats), jnp.int32(n))
+    ref = S.conv_down(sv, jnp.asarray(w), jnp.asarray(b), out_capacity=256)
+    ref_d = as_dict(
+        np.asarray(ref.coords)[: int(ref.count)],
+        np.asarray(ref.feats)[: int(ref.count)],
+    )
+    got_d = as_dict(c, f)
+    assert set(got_d) == set(ref_d)
+    for k in ref_d:
+        np.testing.assert_allclose(got_d[k], ref_d[k], rtol=1e-4, atol=1e-4)
+
+
+def test_conv_up_generative_matches_sparse(rng):
+    n, ch, co = 80, 4, 3
+    coords = rand_cloud(rng, n, 32, stride=2)
+    feats = rng.randn(n, ch).astype(np.float32)
+    w = (rng.randn(8, ch, co) * 0.3).astype(np.float32)
+    b = rng.randn(co).astype(np.float32)
+    bg = B.blockify(
+        jnp.asarray(coords), jnp.asarray(feats), jnp.ones((n,), bool),
+        64, stride=2, res=16, num_batches=1,
+    )
+    out = B.conv_up_generative(bg, jnp.asarray(w), jnp.asarray(b), 512)
+    assert out.stride == 1 and out.res == 32
+    assert int(out.voxel_count()) == 8 * n
+    c, f = rows_of(out)
+    sv = S.build(jnp.asarray(coords), jnp.asarray(feats), jnp.int32(n),
+                 stride=2)
+    ref = S.conv_up_generative(sv, jnp.asarray(w), jnp.asarray(b))
+    ref_d = as_dict(
+        np.asarray(ref.coords)[: int(ref.count)],
+        np.asarray(ref.feats)[: int(ref.count)],
+    )
+    got_d = as_dict(c, f)
+    assert set(got_d) == set(ref_d)
+    for k in ref_d:
+        np.testing.assert_allclose(got_d[k], ref_d[k], rtol=1e-4, atol=1e-4)
+
+
+def test_topk_mask_matches_sparse(rng):
+    n = 300
+    coords = rand_cloud(rng, n, 32, batches=3)
+    scores = rng.randn(n, 1).astype(np.float32)
+    nums = np.array([20, 1000, 0], np.int32)
+    bg = B.blockify(
+        jnp.asarray(coords), jnp.asarray(scores), jnp.ones((n,), bool),
+        256, stride=1, res=32, num_batches=3,
+    )
+    keep = B.topk_mask(bg, bg.feats[:, :, 0], jnp.asarray(nums))
+    pr = B.prune(bg, keep)
+    c, f = rows_of(pr)
+
+    per_b = {}
+    for b in range(3):
+        rows = np.where(coords[:, 0] == b)[0]
+        k = min(len(rows), int(nums[b]))
+        top = rows[np.argsort(-scores[rows, 0], kind="stable")[:k]]
+        per_b[b] = {tuple(coords[i]) for i in top}
+    want = set().union(*per_b.values())
+    assert set(map(tuple, c)) == want
+
+
+def test_prune_compact(rng):
+    bg, coords, feats = make_bg(rng, n=200, res=32)
+    keep = jnp.asarray(rng.rand(bg.nb_cap, B.VOL) < 0.3) & bg.mask
+    pr = B.prune(bg, keep)
+    assert int(pr.voxel_count()) == int(keep.sum())
+    cp = B.compact(pr, 128)
+    assert int(cp.voxel_count()) == int(keep.sum())
+    c1, f1 = rows_of(pr)
+    c2, f2 = rows_of(cp)
+    np.testing.assert_array_equal(c1, c2)
+    np.testing.assert_array_equal(f1, f2)
+    # every surviving block is non-empty
+    nb = int(cp.count)
+    assert bool(cp.mask[:nb].any(axis=1).all())
+
+
+def test_isin_matches_sparse(rng):
+    a, ca, fa = make_bg(rng, n=200, res=32, channels=1)
+    b, cb, fb = make_bg(rng, n=150, res=32, channels=1)
+    got = B.isin(a, b)
+    want_set = set(map(tuple, cb))
+    ca_all = np.asarray(B.slot_coords(a)).reshape(-1, 4)
+    got_flat = np.asarray(got).reshape(-1)
+    mask_flat = np.asarray(a.mask & a.valid[:, None]).reshape(-1)
+    for i in range(len(ca_all)):
+        if mask_flat[i]:
+            assert got_flat[i] == (tuple(ca_all[i]) in want_set)
+        else:
+            assert not got_flat[i]
+
+
+def test_blockify_jit_grad(rng):
+    """The block pipeline must be jit- and grad-safe end to end."""
+    n, ch = 120, 4
+    coords = rand_cloud(rng, n, 32)
+    feats = rng.randn(n, ch).astype(np.float32)
+    w3 = jnp.asarray((rng.randn(3, 3, 3, ch, ch) * 0.2).astype(np.float32))
+    wd = jnp.asarray((rng.randn(8, ch, ch) * 0.2).astype(np.float32))
+    wu = jnp.asarray((rng.randn(8, ch, ch) * 0.2).astype(np.float32))
+
+    @jax.jit
+    def loss(w3, wd, wu):
+        bg = B.blockify(
+            jnp.asarray(coords), jnp.asarray(feats), jnp.ones((n,), bool),
+            128, stride=1, res=32, num_batches=1,
+        )
+        bg = B.conv3(bg, B.neighbor_rows(bg), w3, None)
+        dn = B.conv_down(bg, wd, None, 64)
+        up = B.conv_up_generative(dn, wu, None, 512)
+        return jnp.sum(up.feats ** 2)
+
+    g = jax.grad(loss, argnums=(0, 1, 2))(w3, wd, wu)
+    for gi in g:
+        assert bool(jnp.isfinite(gi).all())
+        assert float(jnp.abs(gi).sum()) > 0
