@@ -47,10 +47,30 @@ from flax import struct
 BS = 8              # block side
 VOL = BS ** 3       # 512 slots per block
 
+# Dense lookup-table budget: B * G^3 int32 cells.  2^27 cells = 512 MB of
+# int32 + 128 MB of bool occupancy — the practical single-chip ceiling.
+# Unscaled vox12 (res 4096 -> G = 512 -> 134M cells/batch-item) fits for
+# batch 1 only; anything larger must pre-scale (the reference does the same:
+# scaling_factor=0.375 for vox12, README.md:39-40, data_utils.py:112-118).
+MAX_TABLE_CELLS = 1 << 27
+
 
 def grid_dim(res: int) -> int:
     """Blocks per axis for a coordinate space of size `res` (grid coords)."""
     return max(1, -(-res // BS))
+
+
+def check_table_size(res: int, num_batches: int) -> None:
+    """Static guard on the dense block-lookup table (see MAX_TABLE_CELLS)."""
+    g = grid_dim(res)
+    cells = num_batches * g ** 3
+    if cells > MAX_TABLE_CELLS:
+        raise ValueError(
+            f"dense block table needs {cells} cells "
+            f"({num_batches} x {g}^3) > {MAX_TABLE_CELLS} budget at res "
+            f"{res}; pre-scale coordinates (scaling_factor, ref "
+            f"README.md:39-40) or reduce the batch size"
+        )
 
 
 @struct.dataclass
@@ -65,6 +85,10 @@ class BlockGrid:
     table  : int32 [B * G^3] — flat block coord -> block row; misses hold
              nb_cap - 1 (an invalid, all-zero row; `count` < nb_cap always).
     count  : int32 [] — number of valid block rows (sorted-prefix).
+    dropped: int32 [] — cumulative occupied blocks silently dropped by
+             capacity overflow anywhere upstream; 0 means the grid holds the
+             exact voxel set (ME never drops — a nonzero value here must be
+             surfaced by codec/training callers as an error).
     stride : static — voxel stride (coords of the underlying voxels are
              multiples of this; block grid covers coords // stride).
     res    : static — grid resolution (max grid coordinate + 1 bound).
@@ -76,6 +100,7 @@ class BlockGrid:
     mask: jax.Array
     table: jax.Array
     count: jax.Array
+    dropped: jax.Array
     stride: int = struct.field(pytree_node=False, default=1)
     res: int = struct.field(pytree_node=False, default=1024)
     num_batches: int = struct.field(pytree_node=False, default=1)
@@ -108,7 +133,7 @@ class BlockGrid:
         return self.replace(feats=feats)
 
     def voxel_count(self) -> jax.Array:
-        return jnp.sum(self.mask.astype(jnp.int32))
+        return jnp.sum((self.mask & self.valid[:, None]).astype(jnp.int32))
 
     def voxels_per_batch(self) -> jax.Array:
         """[num_batches] valid-voxel count per batch item (on device)."""
@@ -137,18 +162,22 @@ def _unflatten_key(key: jax.Array, g: int) -> jax.Array:
 
 
 def _compact_from_occupancy(occ: jax.Array, g: int, nb_cap: int):
-    """occupancy [B*G^3] bool -> (coords [nb_cap,4] sorted, table, count).
+    """occupancy [B*G^3] bool -> (coords [nb_cap,4] sorted, table, count,
+    n_over).
 
     Ranks are assigned in flat-key order, so block rows come out sorted by
-    (batch, bx, by, bz).  Misses in `table` point at nb_cap - 1.
+    (batch, bx, by, bz).  Misses in `table` point at nb_cap - 1.  `n_over`
+    is the number of occupied cells that did not fit (callers must propagate
+    it into BlockGrid.dropped so silent loss is detectable).
     """
     rank = jnp.cumsum(occ.astype(jnp.int32)) - 1
-    count = jnp.maximum(rank[-1] + 1, 0)
+    true_count = jnp.maximum(rank[-1] + 1, 0)
     # Row nb_cap - 1 is reserved as the always-invalid miss target (the
     # zero-contribution invariant), so usable capacity is nb_cap - 1 and
     # overflow blocks are dropped rather than aliasing the sentinel.
     fits = occ & (rank < nb_cap - 1)
-    count = jnp.minimum(count, nb_cap - 1)
+    count = jnp.minimum(true_count, nb_cap - 1)
+    n_over = (true_count - count).astype(jnp.int32)
     table = jnp.where(fits, rank, nb_cap - 1).astype(jnp.int32)
     flat = jnp.arange(occ.shape[0], dtype=jnp.int32)
     pos = jnp.where(fits, rank, nb_cap + flat)  # out of range -> dropped
@@ -158,7 +187,7 @@ def _compact_from_occupancy(occ: jax.Array, g: int, nb_cap: int):
     coords = _unflatten_key(keys, g)
     valid = jnp.arange(nb_cap, dtype=jnp.int32) < count
     coords = jnp.where(valid[:, None], coords, 0)
-    return coords, table, count.astype(jnp.int32)
+    return coords, table, count.astype(jnp.int32), n_over
 
 
 def blockify(
@@ -176,6 +205,7 @@ def blockify(
     feats: [N, C]; valid: [N] bool.  Replaces the per-voxel coordinate-manager
     work of ME.SparseTensor construction (ref coder.py:102, trainer.py:122).
     """
+    check_table_size(res, num_batches)
     g = grid_dim(res)
     c = coords.astype(jnp.int32)
     gxyz = c[:, 1:] // stride
@@ -191,12 +221,16 @@ def blockify(
     occ = occ.at[jnp.where(valid, bkey, num_batches * g ** 3)].set(
         True, mode="drop"
     )
-    bcoords, table, count = _compact_from_occupancy(occ, g, nb_cap)
+    bcoords, table, count, n_over = _compact_from_occupancy(occ, g, nb_cap)
 
+    # Voxels of dropped (overflowed) blocks get bidx == nb_cap - 1, the
+    # reserved all-zero miss row — route them out of range instead of
+    # corrupting the sentinel invariant.
     bidx = table[bkey]
+    ok = valid & (bidx < nb_cap - 1)
     n_rows = coords.shape[0]
     pos = jnp.where(
-        valid,
+        ok,
         bidx * VOL + slot_id,
         nb_cap * VOL + jnp.arange(n_rows, dtype=jnp.int32),
     )
@@ -213,6 +247,7 @@ def blockify(
         mask=bm.reshape(nb_cap, VOL),
         table=table,
         count=count,
+        dropped=n_over,
         stride=stride,
         res=res,
         num_batches=num_batches,
@@ -449,7 +484,9 @@ def conv_down(
     occ = occ.at[jnp.where(bg.valid, pkey, bg.num_batches * gp ** 3)].set(
         True, mode="drop"
     )
-    pcoords, ptable, pcount = _compact_from_occupancy(occ, gp, nb_cap_out)
+    pcoords, ptable, pcount, p_over = _compact_from_occupancy(
+        occ, gp, nb_cap_out
+    )
     pvalid = jnp.arange(nb_cap_out, dtype=jnp.int32) < pcount
 
     # gather each parent's 8 children octants (children live at this scale's
@@ -467,6 +504,7 @@ def conv_down(
     pf = jnp.where(pm[:, :, None], pf, 0)
     return BlockGrid(
         coords=pcoords, feats=pf, mask=pm, table=ptable, count=pcount,
+        dropped=bg.dropped + p_over,
         stride=bg.stride * 2, res=bg.res // 2, num_batches=bg.num_batches,
     )
 
@@ -545,7 +583,9 @@ def conv_up_generative(
     occ = occ.at[
         jnp.where(cvalid, ckey, bg.num_batches * g_out ** 3)
     ].set(True, mode="drop")
-    ocoords, otable, ocount = _compact_from_occupancy(occ, g_out, nb_cap_out)
+    ocoords, otable, ocount, o_over = _compact_from_occupancy(
+        occ, g_out, nb_cap_out
+    )
 
     # block-row scatter of the child blocks into their output rows
     crow = jnp.where(
@@ -563,6 +603,7 @@ def conv_up_generative(
     of = jnp.where(om[:, :, None], of, 0)
     return BlockGrid(
         coords=ocoords, feats=of, mask=om, table=otable, count=ocount,
+        dropped=bg.dropped + o_over,
         stride=bg.stride // 2, res=res_out, num_batches=bg.num_batches,
     )
 
@@ -668,7 +709,7 @@ def compact(bg: BlockGrid, nb_cap_out: int) -> BlockGrid:
     occ = occ.at[
         jnp.where(occ_block, key, bg.num_batches * g ** 3)
     ].set(True, mode="drop")
-    coords, table, count = _compact_from_occupancy(occ, g, nb_cap_out)
+    coords, table, count, c_over = _compact_from_occupancy(occ, g, nb_cap_out)
     valid = jnp.arange(nb_cap_out, dtype=jnp.int32) < count
     rows = jnp.where(valid, bg.table[
         _flat_block_key(coords, g, bg.num_batches)
@@ -678,6 +719,7 @@ def compact(bg: BlockGrid, nb_cap_out: int) -> BlockGrid:
     feats = jnp.where(mask[:, :, None], feats, 0)
     return BlockGrid(
         coords=coords, feats=feats, mask=mask, table=table, count=count,
+        dropped=bg.dropped + c_over,
         stride=bg.stride, res=bg.res, num_batches=bg.num_batches,
     )
 
