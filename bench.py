@@ -27,7 +27,7 @@ def main() -> None:
     import jax
 
     from pcgcv2_tpu.codec.coder import Coder
-    from pcgcv2_tpu.config import CapacityPlan
+    from pcgcv2_tpu.config import BlockPlan
     from pcgcv2_tpu.data.synthetic import torus_cloud
     from pcgcv2_tpu.data.voxelize import collate
     from pcgcv2_tpu.models import PCCModel
@@ -39,17 +39,21 @@ def main() -> None:
     print(f"# bench cloud: {n} voxels @ res 1024", file=sys.stderr)
 
     # init params at a small plan (weights are shape-independent of the plan)
-    small = collate([cloud[:2048]], capacity=2048)
-    model = PCCModel(plan=CapacityPlan(2048, 2048, 1024, 512), num_batches=1)
+    from pcgcv2_tpu.data.synthetic import sphere_cloud
+
+    small = sphere_cloud(48, density=1.0, seed=1)
+    coords, valid = collate([small], capacity=8192)
+    model = PCCModel(plan=BlockPlan(res=64, nb=(512, 256, 128, 64)),
+                     num_batches=1)
     params = model.init(
         {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)},
-        small, True,
+        coords, valid, True,
     )
 
     import tempfile
 
     with tempfile.TemporaryDirectory() as td:
-        coder = Coder(params, td + "/frame")
+        coder = Coder(params, td + "/frame", res=1024)
 
         # warm-up: compile both directions
         coder.encode(cloud, postfix="_w")

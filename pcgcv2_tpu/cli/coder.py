@@ -52,7 +52,9 @@ def main(argv=None):
     params = load_params(args.ckptdir)
     print("load checkpoint from \t", args.ckptdir)
 
-    coder = Coder(params, filename)
+    # the codec operates in the (possibly pre-scaled) coordinate space
+    enc_res = int(np.ceil(args.res * args.scaling_factor))
+    coder = Coder(params, filename, res=enc_res)
 
     x_in = (
         scale_coords(coords, args.scaling_factor)

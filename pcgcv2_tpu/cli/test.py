@@ -63,7 +63,8 @@ def run_sweep(filedir, ckptdir_list, outdir, resultdir,
         params = load_params(ckptdir)
         print("load checkpoint from \t", ckptdir)
         if coder is None:
-            coder = Coder(params, filename)
+            enc_res = int(np.ceil(res * scaling_factor))
+            coder = Coder(params, filename, res=enc_res)
         else:
             coder.params = params  # reuse jit caches across rate points
         postfix = f"_r{idx + 1}"

@@ -32,13 +32,16 @@ def parse_args(argv=None):
     # TPU static-shape knobs (no reference equivalent)
     p.add_argument("--batch_capacity", type=int, default=524288,
                    help="max total voxels per collated batch (static shape)")
+    p.add_argument("--train_res", type=int, default=128,
+                   help="coordinate bound of training crops (power of two "
+                        ">= the dataset generator's res, default 127+1)")
     p.add_argument("--seed", type=int, default=0)
     return p.parse_args(argv)
 
 
 def main(argv=None):
     args = parse_args(argv)
-    from pcgcv2_tpu.config import CapacityPlan, TrainConfig
+    from pcgcv2_tpu.config import BlockPlan, TrainConfig
     from pcgcv2_tpu.data.dataset import PCDataset, iterate_batches
     from pcgcv2_tpu.train.trainer import Trainer
 
@@ -47,9 +50,11 @@ def main(argv=None):
         batch_size=args.batch_size, epochs=args.epoch,
         check_time=args.check_time,
     )
-    plan = CapacityPlan.for_points(args.batch_capacity, slack=1.0)
+    plan = BlockPlan.for_training(
+        args.batch_capacity, args.train_res, args.batch_size
+    )
     trainer = Trainer(
-        cfg, plan,
+        cfg, plan, args.batch_capacity,
         logdir=os.path.join("./logs", args.prefix),
         ckptdir=os.path.join("./ckpts", args.prefix),
         init_ckpt=args.init_ckpt,

@@ -12,6 +12,16 @@ Preserves the reference bitstream semantics exactly (coder.py:16-112):
 plus the same knobs: `rho` multiplies only the final-scale top-k count
 (ref coder.py:107), `scaling_factor` pre-scaling happens in the CLI layer.
 
+Canonical order contract (ref coder.py:84,98-99): bottleneck rows are sorted
+by (x, y, z) lexicographic order on BOTH sides before features are attached —
+the encoder sorts the extracted rows before rANS coding, and the decoder
+re-sorts whatever the coordinate codec returns (the built-in octree codec
+emits Morton order; tmc3 has its own) into the identical order.
+
+Overflow safety: every jitted stage returns the BlockGrid `dropped` counter
+and the codec refuses to emit or accept a stream that lost voxels to a
+too-small capacity plan (ME never drops voxels; neither may we).
+
 TPU structure: the analysis/synthesis transforms are jitted per
 capacity-bucket (static shapes); the host only does file I/O, CDF
 quantization and the byte-level entropy coding.
@@ -28,16 +38,23 @@ import jax.numpy as jnp
 import numpy as np
 
 from pcgcv2_tpu.codec import gpcc, native, octree
-from pcgcv2_tpu.config import CapacityPlan, ModelConfig
+from pcgcv2_tpu.config import BlockPlan, ModelConfig
 from pcgcv2_tpu.data import io as pcio
 from pcgcv2_tpu.data.voxelize import collate
 from pcgcv2_tpu.models.entropy import EntropyBottleneck
 from pcgcv2_tpu.models.pcc import PCCModel
-from pcgcv2_tpu import ops
+from pcgcv2_tpu.ops import blocks as B
 
 
 def _bucket(n: int, granularity: int) -> int:
     return max(granularity, -(-n // granularity) * granularity)
+
+
+def canonical_order(coords: np.ndarray) -> np.ndarray:
+    """Row permutation sorting [N, 3] coords ascending by (x, y, z) — the
+    shared encoder/decoder feature order (ref coder.py:84,98-99 uses the
+    same raveled-key sort)."""
+    return np.lexsort((coords[:, 2], coords[:, 1], coords[:, 0]))
 
 
 class FeatureCoder:
@@ -116,22 +133,26 @@ class CoordinateCoder:
 
 
 class Coder:
-    """Single-frame encode/decode orchestrator (ref Coder, coder.py:73-112)."""
+    """Single-frame encode/decode orchestrator (ref Coder, coder.py:73-112).
+
+    res: coordinate-space bound of the frames this coder handles (vox10 ->
+    1024); capacity plans and jit caches are keyed per (res, size bucket).
+    """
 
     def __init__(
         self,
         params,
         filename: str,
+        res: int = 1024,
         model_config: ModelConfig = ModelConfig(),
-        cap_ratios: Tuple[float, float, float] = (0.65, 0.4, 0.22),
         input_granularity: int = 65536,
         prune_granularity: int = 16384,
         prefer_gpcc: bool = False,
     ):
         self.params = params
         self.filename = filename
+        self.res = res
         self.model_config = model_config
-        self.cap_ratios = cap_ratios
         self.input_granularity = input_granularity
         self.prune_granularity = prune_granularity
         self.coordinate_coder = CoordinateCoder(filename, prefer_gpcc)
@@ -145,7 +166,7 @@ class Coder:
 
     # --- jit-cached model/stage builders -----------------------------------
 
-    def _model(self, plan: CapacityPlan) -> PCCModel:
+    def _model(self, plan: BlockPlan) -> PCCModel:
         if plan not in self._models:
             self._models[plan] = PCCModel(
                 config=self.model_config, plan=plan, num_batches=1
@@ -153,26 +174,36 @@ class Coder:
         return self._models[plan]
 
     @functools.lru_cache(maxsize=None)
-    def _encode_fn(self, plan: CapacityPlan):
+    def _encode_fn(self, plan: BlockPlan, ext_cap: int):
         model = self._model(plan)
 
         @jax.jit
-        def fn(params, x):
-            return model.apply(params, x, method=PCCModel.encode_fn)
+        def fn(params, coords, valid):
+            y, nums, n_in = model.apply(
+                params, coords, valid, method=PCCModel.encode_fn
+            )
+            yc, yf, ny = B.extract(y, ext_cap)
+            return yc, yf, ny, jnp.concatenate(nums), n_in, y.dropped
 
         return fn
 
     @functools.lru_cache(maxsize=None)
-    def _decode_fn(self, plan: CapacityPlan, prune_caps: Tuple[int, int, int]):
+    def _decode_fn(self, plan: BlockPlan, out_cap: int):
         model = self._model(plan)
+        nb3 = plan.nb[3]
+        res = plan.res
 
         @jax.jit
-        def fn(params, y, nums):
-            nums_list = [nums[0:1], nums[1:2], nums[2:3]]
-            return model.apply(
-                params, y, nums_list, prune_caps,
-                method=PCCModel.decode_fn,
+        def fn(params, rows, feats, valid, nums):
+            y = B.blockify(
+                rows, feats, valid, nb3, stride=8, res=res, num_batches=1
             )
+            nums_list = [nums[0:1], nums[1:2], nums[2:3]]
+            out = model.apply(
+                params, y, nums_list, method=PCCModel.decode_fn
+            )
+            oc, _, cnt = B.extract(out, out_cap, with_feats=False)
+            return oc, cnt, out.dropped
 
         return fn
 
@@ -192,67 +223,79 @@ class Coder:
         eb_params = {"params": self.params["params"]["entropy_bottleneck"]}
         return self._pmf_jit(num_symbols)(eb_params, min_v)
 
-    def _plan_for(self, capacity: int) -> CapacityPlan:
-        return CapacityPlan.for_points(
-            capacity, ratios=self.cap_ratios,
-            round_to=self.prune_granularity, slack=1.0,
-        )
+    def _plan_for(self, n_points: int) -> BlockPlan:
+        cap = _bucket(n_points, self.input_granularity)
+        return BlockPlan.for_cloud(cap, self.res)
 
     # --- public API ---------------------------------------------------------
 
     def encode(self, coords: np.ndarray, postfix: str = ""):
-        """coords: [N, 3] int voxel coordinates of one frame."""
+        """coords: [N, 3] int voxel coordinates of one frame.
+
+        Returns (bottleneck coords [ny, 3] stride-normalized, features
+        [ny, C]) in canonical order — the exact rows the decoder must
+        reproduce (for round-trip tests).
+        """
+        coords = np.unique(np.asarray(coords, dtype=np.int32), axis=0)
         n = len(coords)
+        plan = self._plan_for(n)
         cap = _bucket(n, self.input_granularity)
-        plan = self._plan_for(cap)
-        x = collate([coords], capacity=cap)
-        y, nums = self._encode_fn(plan)(self.params, x)
-        ny = int(y.count)
-        num_points = [int(v[0]) for v in nums]
-        # capacity-overflow check: silent voxel drops would corrupt the stream
-        if ny >= plan.scale3 or num_points[0] >= plan.scale2 \
-                or num_points[1] >= plan.scale1:
+        rows, valid = collate([coords], capacity=cap)
+        yc, yf, ny, nums, n_in, n_drop = self._encode_fn(plan, cap)(
+            self.params, rows, valid
+        )
+        ny = int(ny)
+        if int(n_drop) or int(n_in) != n or ny >= cap:
             raise RuntimeError(
-                f"capacity plan too small: counts ({ny}, {num_points}) vs "
-                f"plan {plan} — raise cap_ratios"
+                f"capacity plan too small for frame ({n} pts, res "
+                f"{self.res}): dropped={int(n_drop)} n_in={int(n_in)} "
+                f"ny={ny}; raise BlockPlan.for_cloud sizing"
             )
+        num_points = [int(v) for v in np.asarray(nums)]
         with open(self.filename + postfix + "_num_points.bin", "wb") as f:
             f.write(np.array(num_points, dtype=np.int32).tobytes())
-        self.feature_coder.encode(np.asarray(y.feats)[:ny], postfix)
-        ds_coords = np.asarray(y.coords)[:ny, 1:] // y.stride
+
+        ds_coords = np.asarray(yc)[:ny, 1:] // 8
+        feats = np.asarray(yf)[:ny]
+        order = canonical_order(ds_coords)
+        ds_coords, feats = ds_coords[order], feats[order]
+        self.feature_coder.encode(feats, postfix)
         self.coordinate_coder.encode(ds_coords, postfix)
-        return y
+        return ds_coords, np.round(feats)
 
     def decode(self, rho: float = 1.0, postfix: str = "") -> np.ndarray:
         coords = self.coordinate_coder.decode(postfix)
-        # canonical order contract with the encoder: ascending ravel key
-        # (ref coder.py:84,98-99 — encoder sorts y, decoder re-sorts coords)
-        order = np.lexsort((coords[:, 2], coords[:, 1], coords[:, 0]))
-        coords = coords[order]
+        # canonical order contract with the encoder (see module docstring)
+        coords = coords[canonical_order(coords)]
         feats = self.feature_coder.decode(postfix)
         m = len(coords)
         assert feats.shape[0] == m, "feature/coordinate count mismatch"
 
         with open(self.filename + postfix + "_num_points.bin", "rb") as f:
             num_points = np.frombuffer(f.read(12), dtype=np.int32).tolist()
-        num_points[-1] = int(rho * num_points[-1])
+        n_frame = num_points[-1]
+        num_points[-1] = int(rho * num_points[-1])  # ref coder.py:107
 
+        plan = self._plan_for(max(n_frame, num_points[-1]))
         cap_y = _bucket(m, self.prune_granularity)
-        plan = self._plan_for(_bucket(num_points[-1], self.input_granularity))
         rows = np.zeros((cap_y, 4), dtype=np.int32)
         rows[:m, 1:] = coords * 8
+        valid = np.zeros((cap_y,), dtype=bool)
+        valid[:m] = True
         f_pad = np.zeros((cap_y, feats.shape[1]), dtype=np.float32)
         f_pad[:m] = feats
-        y = ops.build(
-            jnp.asarray(rows), jnp.asarray(f_pad), jnp.int32(m), stride=8
-        )
-        prune_caps = tuple(
-            _bucket(k, self.prune_granularity) for k in num_points
-        )
+        out_cap = _bucket(num_points[-1], self.input_granularity)
         nums_arr = jnp.asarray(np.array(num_points, dtype=np.int32))
-        out = self._decode_fn(plan, prune_caps)(self.params, y, nums_arr)
-        n_out = int(out.count)
-        return np.asarray(out.coords)[:n_out, 1:]
+        oc, cnt, n_drop = self._decode_fn(plan, out_cap)(
+            self.params, rows, f_pad, valid, nums_arr
+        )
+        if int(n_drop):
+            raise RuntimeError(
+                f"decode overflowed the capacity plan "
+                f"(dropped={int(n_drop)}); raise BlockPlan.for_cloud sizing"
+            )
+        n_out = int(cnt)
+        return np.asarray(oc)[:n_out, 1:]
 
     def bitstream_bytes(self, postfix: str = "") -> dict:
         """Sizes of the 4 bitstream files (ref test.py:63-66)."""

@@ -112,10 +112,52 @@ class BlockPlan:
         nb0 = max(round_to, _round_up(
             int(n_points * blocks_per_point * slack), round_to))
         ratios = (1.0, 0.35, 0.15, 0.08)
+
+        def cells(s):  # worst-case occupied blocks at scale s (batch 1)
+            g = max(1, -(-max(1, res >> s) // 8))
+            return g ** 3 + 1
+
         nb = tuple(
-            max(round_to, _round_up(int(nb0 * r), round_to)) for r in ratios
+            min(cells(s),
+                max(round_to, _round_up(int(nb0 * r), round_to)))
+            for s, r in enumerate(ratios)
         )
         return cls(res=res, nb=nb)
+
+    @classmethod
+    def for_training(
+        cls,
+        capacity: int,
+        res: int,
+        batch_size: int,
+        voxels_per_block: int = 20,
+        round_to: int = 256,
+    ) -> "BlockPlan":
+        """Plan for a training batch: `capacity` padded voxel rows across
+        `batch_size` items in a res^3 space.
+
+        Each scale's block cap is the lesser of (a) the worst-case cell
+        count of its grid and (b) the batch's expected occupied blocks
+        (capacity / voxels_per_block, decaying per scale).
+        """
+
+        def g(s):  # blocks per axis at scale s
+            return max(1, -(-max(1, res >> s) // 8))
+
+        per_item = max(256, capacity // max(batch_size, 1) // voxels_per_block)
+        ratios = (1.0, 0.4, 0.2, 0.125)
+        nb = []
+        for s, r in enumerate(ratios):
+            cells = batch_size * g(s) ** 3 + 1
+            want = _round_up(int(batch_size * per_item * r), round_to) + 1
+            nb.append(min(cells, want))
+        # decoder stages (coarse->fine: strides 4, 2, 1 = scales 2, 1, 0):
+        # 2x the encoder caps (top-k UNION ground truth in training),
+        # clamped to each scale's worst-case cell count
+        dec_nb = tuple(
+            min(2 * nb[i], batch_size * g(i) ** 3 + 1) for i in (2, 1, 0)
+        )
+        return cls(res=res, nb=tuple(nb), dec_nb=dec_nb)
 
     def up_cap(self, stage: int) -> int:
         """Pre-prune cap for decoder stage `stage` (0 = stride 8 -> 4)."""

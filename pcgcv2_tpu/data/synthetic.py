@@ -24,6 +24,57 @@ def sphere_cloud(
     return np.unique(pts, axis=0)
 
 
+def random_surface_cloud(
+    resolution: int = 128, seed: int = 0, density: float = 3.0
+) -> np.ndarray:
+    """Random smooth closed surface, voxelized — a self-contained substitute
+    for the reference's ModelNet40 training crops (generate_dataset.py:75,
+    res 127 meshes).  Each draw composes 1-3 primitives (deformed spheres
+    with low-order angular harmonics, tori, boxes) under a random rotation,
+    giving varied curvature/thickness statistics comparable to mesh scans.
+    """
+    rng = np.random.RandomState(seed)
+    n_parts = rng.randint(1, 4)
+    clouds = []
+    for _ in range(n_parts):
+        kind = rng.randint(0, 3)
+        r = resolution * rng.uniform(0.15, 0.42)
+        n = int(density * 4 * np.pi * r * r)
+        if kind == 0:  # harmonically deformed sphere
+            u = rng.randn(n, 3)
+            u /= np.linalg.norm(u, axis=1, keepdims=True)
+            theta = np.arccos(np.clip(u[:, 2], -1, 1))
+            phi = np.arctan2(u[:, 1], u[:, 0])
+            bump = np.zeros(n)
+            for _ in range(rng.randint(1, 4)):
+                lf, mf = rng.randint(1, 5), rng.randint(1, 5)
+                bump += rng.uniform(-0.25, 0.25) * np.cos(
+                    lf * theta + rng.uniform(0, np.pi)
+                ) * np.cos(mf * phi + rng.uniform(0, np.pi))
+            pts = u * (r * (1.0 + bump))[:, None]
+        elif kind == 1:  # torus
+            small = r * rng.uniform(0.2, 0.6)
+            th = rng.uniform(0, 2 * np.pi, n)
+            ph = rng.uniform(0, 2 * np.pi, n)
+            pts = np.stack([
+                (r + small * np.cos(ph)) * np.cos(th),
+                (r + small * np.cos(ph)) * np.sin(th),
+                small * np.sin(ph),
+            ], axis=1)
+        else:  # box surface
+            half = r * rng.uniform(0.4, 1.0, size=3)
+            face = rng.randint(0, 6, n)
+            pts = rng.uniform(-1, 1, (n, 3)) * half
+            axis, sign = face // 2, (face % 2) * 2 - 1
+            pts[np.arange(n), axis] = sign * half[axis]
+        rot = np.linalg.qr(rng.randn(3, 3))[0]
+        center = resolution * (0.5 + rng.uniform(-0.12, 0.12, 3))
+        clouds.append(pts @ rot + center)
+    pts = np.concatenate(clouds, axis=0)
+    pts = np.clip(np.round(pts), 0, resolution - 1).astype(np.int32)
+    return np.unique(pts, axis=0)
+
+
 def torus_cloud(
     resolution: int = 1024, density: float = 4.0, seed: int = 0
 ) -> np.ndarray:

@@ -1,21 +1,18 @@
-"""Host-side assembly of SparseVoxels from raw integer point sets.
+"""Host-side batching of raw integer point sets into padded voxel rows.
 
 Mirrors the reference's load/collate path (`load_sparse_tensor`,
 `scale_sparse_tensor`, `sparse_collate` — data_utils.py:103-118,
-data_loader.py:42-56) but produces padded static-capacity tensors; the sort
-and dedup happen on device inside `ops.build`.
+data_loader.py:42-56) but produces static-capacity padded arrays; all
+structure building (the dense-block grid) happens on device inside the
+jitted model via `ops.blocks.blockify`.
 """
 
 from __future__ import annotations
 
 import math
-from typing import Optional, Sequence
+from typing import Sequence, Tuple
 
-import jax.numpy as jnp
 import numpy as np
-
-from pcgcv2_tpu import ops
-from pcgcv2_tpu.ops.sparse import SparseVoxels
 
 
 def bucket_capacity(n: int, round_to: int = 65536, slack: float = 1.0) -> int:
@@ -25,31 +22,29 @@ def bucket_capacity(n: int, round_to: int = 65536, slack: float = 1.0) -> int:
 
 def collate(
     coords_list: Sequence[np.ndarray],
-    capacity: Optional[int] = None,
-    dedupe: bool = False,
-) -> SparseVoxels:
-    """Batch [N_i, 3] integer coord arrays into one SparseVoxels.
+    capacity: int = 0,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Batch [N_i, 3] integer coord arrays into padded voxel rows.
 
-    Feature vectors are all-ones [N, 1], as in the reference
-    (data_utils.py:104, data_loader.py:79).
+    Returns (coords [cap, 4] int32 with a leading batch column, valid [cap]
+    bool).  The feature vector is implicit all-ones [N, 1], as in the
+    reference (data_utils.py:104, data_loader.py:79); the model derives it
+    from `valid`.
     """
     total = sum(len(c) for c in coords_list)
     cap = capacity or bucket_capacity(total)
     if total > cap:
         raise ValueError(f"batch of {total} voxels exceeds capacity {cap}")
     rows = np.zeros((cap, 4), dtype=np.int32)
+    valid = np.zeros((cap,), dtype=bool)
     ofs = 0
     for b, c in enumerate(coords_list):
         n = len(c)
         rows[ofs : ofs + n, 0] = b
         rows[ofs : ofs + n, 1:] = c
         ofs += n
-    feats = np.zeros((cap, 1), dtype=np.float32)
-    feats[:ofs] = 1.0
-    return ops.build(
-        jnp.asarray(rows), jnp.asarray(feats), jnp.int32(ofs),
-        stride=1, dedupe=dedupe,
-    )
+    valid[:ofs] = True
+    return rows, valid
 
 
 def scale_coords(coords: np.ndarray, factor: float) -> np.ndarray:

@@ -64,9 +64,16 @@ def pc_error(
             print(line)
         for key in _HEADERS:
             if key in line:
-                for tok in line.split(" "):
+                # value is the first numeric token AFTER the header (the
+                # reference anchors on the token position, pc_error.py:66-69;
+                # taking the last float mis-parses lines with several
+                # numerics, e.g. scientific-notation pairs)
+                tail = line.split(key, 1)[1]
+                for tok in tail.replace(":", " ").split():
                     try:
                         results[key] = float(tok)
+                        break
                     except ValueError:
                         continue
+                break
     return results

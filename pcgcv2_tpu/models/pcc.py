@@ -95,11 +95,15 @@ class PCCModel(nn.Module):
     # --- codec entry points (used by pcgcv2_tpu.codec.coder) ---------------
 
     def encode_fn(self, coords: jax.Array, valid: jax.Array):
-        """Analysis transform only: (bottleneck grid, per-scale GT counts)."""
+        """Analysis transform only: (bottleneck grid, per-scale GT counts,
+        input voxel count).  `y.dropped` accumulates any block-capacity
+        overflow from blockify through the bottleneck; the codec must check
+        both it and n_in against the host-side point count before emitting a
+        bitstream."""
         x = self.blockify(coords, valid)
         y, out1, out0 = self.encoder(x)
         nums = [gt.voxels_per_batch() for gt in [out1, out0, x]]
-        return y, nums
+        return y, nums, x.voxel_count()
 
     def decode_fn(self, y_q: BlockGrid, nums_list: Sequence[jax.Array]):
         """Synthesis transform from a decoded bottleneck (ref coder.py:110)."""

@@ -1,4 +1,10 @@
-"""TPU-native sparse voxel tensor and convolution ops.
+"""TPU-native sparse voxel tensor and convolution ops — the TEST ORACLE.
+
+Role: this per-voxel backend is the semantic ground truth that the
+production dense-block backend (`ops/blocks.py`) is validated against in
+`tests/test_blocks.py`.  It is not on the model's hot path (per-voxel
+gathers measure ~10x slower than block-dense MXU convs at vox10 scale on a
+TPU chip); keep it in sync with `ops/blocks.py` semantics, not performance.
 
 This module is the replacement for MinkowskiEngine (the reference's entire
 C++/CUDA sparse-conv runtime — usage sites: /root/reference/autoencoder.py,

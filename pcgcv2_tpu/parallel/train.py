@@ -1,20 +1,19 @@
 """Data-parallel training step over a device mesh (shard_map + psum).
 
 Point clouds in a batch are independent, so the natural TPU scale-out is to
-shard the batch dimension over ICI: each device collates its shard of
-per-item padded point sets into a local SparseVoxels, runs the full
-forward/backward, and all-reduces gradients with `jax.lax.psum`.  Parameters
-and optimizer state stay replicated; after the psum every device applies the
-identical update (standard DP).
+shard the batch dimension over ICI: each device assembles its shard of
+per-item padded point sets into padded voxel rows, runs the full
+forward/backward (blockify happens on-device inside the jitted model), and
+all-reduces gradients with `jax.lax.pmean`.  Parameters and optimizer state
+stay replicated; after the pmean every device applies the identical update
+(standard DP).
 
 Inputs are [B, P, 3] padded per-item coordinate arrays + [B] counts — the
-host-side loader only pads; voxel collation (batch column, ravel, sort)
-happens on-device inside the jitted step via `ops.build(valid_mask=...)`.
+host-side loader only pads; everything else is inside the jitted step.
 """
 
 from __future__ import annotations
 
-import functools
 from typing import Tuple
 
 import jax
@@ -24,16 +23,15 @@ import optax
 from jax.sharding import PartitionSpec as P
 from jax import shard_map
 
-from pcgcv2_tpu import ops
-from pcgcv2_tpu.config import CapacityPlan
 from pcgcv2_tpu.parallel.mesh import DP_AXIS
 from pcgcv2_tpu.train.loss import rd_loss
 
 
 def collate_on_device(
-    coords: jax.Array, counts: jax.Array, capacity: int
-) -> ops.SparseVoxels:
-    """[B, P, 3] + [B] -> one SparseVoxels, entirely inside jit."""
+    coords: jax.Array, counts: jax.Array
+) -> Tuple[jax.Array, jax.Array]:
+    """[B, P, 3] + [B] -> padded voxel rows ([B*P, 4], [B*P] valid),
+    entirely inside jit (the model's blockify consumes these directly)."""
     b, p, _ = coords.shape
     batch_ids = jnp.broadcast_to(
         jnp.arange(b, dtype=jnp.int32)[:, None, None], (b, p, 1)
@@ -44,8 +42,7 @@ def collate_on_device(
     valid = (
         jnp.arange(p, dtype=jnp.int32)[None, :] < counts[:, None]
     ).reshape(b * p)
-    feats = valid[:, None].astype(jnp.float32)
-    return ops.build(rows, feats, valid_mask=valid, capacity=capacity)
+    return rows, valid
 
 
 def pad_batch(coords_list, item_capacity: int) -> Tuple[np.ndarray, np.ndarray]:
@@ -66,26 +63,22 @@ def make_dp_train_step(
     mesh,
     alpha: float,
     beta: float,
-    local_batch: int,
-    per_device_capacity: int,
 ):
     """Build the jitted DP step.
 
-    model: a PCCModel whose num_batches == local_batch (per-device items)
-    and whose plan.input == per_device_capacity.
+    model: a PCCModel whose num_batches equals the per-device item count.
     Returns step(params, opt_state, coords [B,P,3], counts [B], rng) ->
     (params, opt_state, loss) with B = n_devices * local_batch.
     """
-    n_dev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
 
     def local_step(params, opt_state, coords, counts, rng):
         # per-device shard: [local_batch, P, 3]
-        x = collate_on_device(coords, counts, per_device_capacity)
+        rows, valid = collate_on_device(coords, counts)
         rng = jax.random.fold_in(rng, jax.lax.axis_index(DP_AXIS))
 
         def loss_fn(p):
-            out = model.apply(p, x, True, rngs={"noise": rng})
-            return rd_loss(out, x, alpha, beta, "train")["loss"]
+            out = model.apply(p, rows, valid, True, rngs={"noise": rng})
+            return rd_loss(out, alpha, beta, "train")["loss"]
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
         grads = jax.lax.pmean(grads, DP_AXIS)

@@ -9,9 +9,11 @@ Faithful recipe, TPU-native execution:
     epoch — a quirk we reproduce by default, switchable in TrainConfig).
   * per-epoch lr halving floored at lr_min (ref train.py:70), injected as an
     optax hyperparam so the jitted step never recompiles.
-  * checkpoints: orbax, model params only (matching the reference's
-    weights-only checkpoints, trainer.py:51-54) plus an optional full
-    train-state save for exact resume (a gap in the reference).
+  * checkpoints: flax-serialized.  `save_model` writes weights-only release
+    checkpoints (the reference's format, trainer.py:51-54); `save_state` /
+    `restore_state` persist the FULL train state (params, optimizer moments,
+    epoch, lr, RNG) for exact resume — a gap in the reference, whose resume
+    restarts the schedule.
 
 The whole step (forward, loss, isin/topk ground truth, backward, Adam) is one
 jitted function — no host round-trips inside the loop.
@@ -30,7 +32,7 @@ import numpy as np
 import optax
 from flax import serialization
 
-from pcgcv2_tpu.config import CapacityPlan, ModelConfig, TrainConfig
+from pcgcv2_tpu.config import BlockPlan, ModelConfig, TrainConfig
 from pcgcv2_tpu.data.voxelize import collate
 from pcgcv2_tpu.models import PCCModel
 from pcgcv2_tpu.train.loss import cls_metrics, rd_loss
@@ -67,12 +69,18 @@ def make_optimizer(weight_decay: float):
 
 class Trainer:
     """Single-host trainer.  For multi-chip data parallelism see
-    pcgcv2_tpu.parallel.train (same step math under shard_map)."""
+    pcgcv2_tpu.parallel.train (same step math under shard_map).
+
+    plan: BlockPlan sized for the training batch (res covers the dataset's
+    coordinate bound, nb covers the batch's occupied 8^3 blocks per scale);
+    capacity: padded voxel-row budget of one collated batch.
+    """
 
     def __init__(
         self,
         config: TrainConfig,
-        plan: CapacityPlan,
+        plan: BlockPlan,
+        capacity: int,
         model_config: ModelConfig = ModelConfig(),
         logdir: str = "./logs/tp",
         ckptdir: str = "./ckpts/tp",
@@ -81,6 +89,7 @@ class Trainer:
     ):
         self.config = config
         self.plan = plan
+        self.capacity = capacity
         self.logdir = logdir
         self.ckptdir = ckptdir
         os.makedirs(ckptdir, exist_ok=True)
@@ -103,7 +112,7 @@ class Trainer:
 
     # --- setup --------------------------------------------------------------
 
-    def _ensure_initialized(self, x):
+    def _ensure_initialized(self, coords, valid):
         if self.params is not None:
             return
         if self._init_ckpt:
@@ -112,42 +121,49 @@ class Trainer:
         else:
             k1, k2 = jax.random.split(self.rng)
             self.params = jax.jit(
-                lambda a, b: self.model.init({"params": a, "noise": b}, x, True)
+                lambda a, b: self.model.init(
+                    {"params": a, "noise": b}, coords, valid, True
+                )
             )(k1, k2)
             self.logger.info("Random initialization.")
         self.opt_state = self.tx.init(self.params)
+        self._build_step_fns()
+
+    def _build_step_fns(self):
         alpha, beta = self.config.alpha, self.config.beta
-        model, tx, nb = self.model, self.tx, self.config.batch_size
+        model, tx = self.model, self.tx
 
         @jax.jit
-        def step(params, opt_state, x, rng):
+        def step(params, opt_state, coords, valid, rng):
             def loss_fn(p):
-                out = model.apply(p, x, True, rngs={"noise": rng})
-                d = rd_loss(out, x, alpha, beta, "train")
+                out = model.apply(
+                    p, coords, valid, True, rngs={"noise": rng}
+                )
+                d = rd_loss(out, alpha, beta, "train")
                 mets = jnp.stack(
                     [
-                        cls_metrics(c, g, nb)
+                        cls_metrics(c, g)
                         for c, g in zip(
                             out["out_cls_list"], out["ground_truth_list"]
                         )
                     ]
                 )
-                return d["loss"], (d, mets)
+                return d["loss"], (d, mets, out["out"].dropped)
 
-            (loss, (d, mets)), grads = jax.value_and_grad(
+            (_, (d, mets, n_drop)), grads = jax.value_and_grad(
                 loss_fn, has_aux=True
             )(params)
             updates, opt_state = tx.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
-            return params, opt_state, d, mets
+            return params, opt_state, d, mets, n_drop
 
         @jax.jit
-        def evaluate(params, x):
-            out = model.apply(params, x, False)
-            d = rd_loss(out, x, alpha, beta, "test")
+        def evaluate(params, coords, valid):
+            out = model.apply(params, coords, valid, False)
+            d = rd_loss(out, alpha, beta, "test")
             mets = jnp.stack(
                 [
-                    cls_metrics(c, g, nb)
+                    cls_metrics(c, g)
                     for c, g in zip(out["out_cls_list"], out["ground_truth_list"])
                 ]
             )
@@ -157,7 +173,7 @@ class Trainer:
         self._eval_fn = evaluate
 
     def _collate(self, coords_list: Sequence[np.ndarray]):
-        return collate(coords_list, capacity=self.plan.input)
+        return collate(coords_list, capacity=self.capacity)
 
     # --- bookkeeping ----------------------------------------------------------
 
@@ -171,9 +187,46 @@ class Trainer:
             self.record_set[k] = []
 
     def save_model(self, name: Optional[str] = None):
+        """Weights-only release checkpoint (ref trainer.py:51-54 format)."""
         path = os.path.join(self.ckptdir, name or f"epoch_{self.epoch}.ckpt")
         save_params(path, self.params)
         return path
+
+    def save_state(self, name: str = "train_state.ckpt") -> str:
+        """Full train state for exact resume (params + optimizer moments +
+        epoch + lr + RNG) — beyond the reference's weights-only saves."""
+        path = os.path.join(self.ckptdir, name)
+        state = {
+            "params": self.params,
+            "opt_state": self.opt_state,
+            "epoch": self.epoch,
+            "lr": self.lr,
+            "rng": self.rng,
+        }
+        with open(path, "wb") as f:
+            f.write(serialization.to_bytes(state))
+        return path
+
+    def restore_state(self, path: str, coords, valid) -> None:
+        """Inverse of save_state; (coords, valid) seed the param/opt
+        templates when the trainer is not yet initialized."""
+        self._init_ckpt = ""
+        if self.params is None:
+            self._ensure_initialized(coords, valid)
+        template = {
+            "params": self.params,
+            "opt_state": self.opt_state,
+            "epoch": 0,
+            "lr": 0.0,
+            "rng": self.rng,
+        }
+        with open(path, "rb") as f:
+            state = serialization.from_bytes(template, f.read())
+        self.params = state["params"]
+        self.opt_state = state["opt_state"]
+        self.epoch = int(state["epoch"])
+        self.lr = float(state["lr"])
+        self.rng = jnp.asarray(state["rng"])
 
     # --- loops ---------------------------------------------------------------
 
@@ -186,23 +239,28 @@ class Trainer:
         n_steps = 0
         for batch_step, coords_list in enumerate(batches):
             total = sum(len(c) for c in coords_list)
-            if total > self.plan.input:
+            if total > self.capacity:
                 self.logger.info(
-                    f"skip oversized batch ({total} > {self.plan.input})"
+                    f"skip oversized batch ({total} > {self.capacity})"
                 )
                 continue
-            x = self._collate(coords_list)
-            self._ensure_initialized(x)
+            coords, valid = self._collate(coords_list)
+            self._ensure_initialized(coords, valid)
             if batch_step == 0 and self.config.reset_optimizer_each_epoch:
                 self.opt_state = self.tx.init(self.params)  # ref trainer.py:112
             self.opt_state.hyperparams["lr"] = jnp.asarray(
                 self.lr, dtype=jnp.float32
             )
             self.rng, sub = jax.random.split(self.rng)
-            self.params, self.opt_state, d, mets = self._step_fn(
-                self.params, self.opt_state, x, sub
+            self.params, self.opt_state, d, mets, n_drop = self._step_fn(
+                self.params, self.opt_state, coords, valid, sub
             )
             n_steps += 1
+            if int(n_drop):
+                self.logger.info(
+                    f"WARNING: step dropped {int(n_drop)} blocks "
+                    f"(plan {self.plan} too small for this batch)"
+                )
             self.record_set["bce"].append(float(d["bce"]))
             self.record_set["bces"].append(np.asarray(d["bces"]))
             self.record_set["bpp"].append(float(d["bpp"]))
@@ -220,11 +278,11 @@ class Trainer:
     def test(self, batches: Iterable[Sequence[np.ndarray]], tag: str = "Test"):
         for coords_list in batches:
             total = sum(len(c) for c in coords_list)
-            if total > self.plan.input:
+            if total > self.capacity:
                 continue
-            x = self._collate(coords_list)
-            self._ensure_initialized(x)
-            d, mets = self._eval_fn(self.params, x)
+            coords, valid = self._collate(coords_list)
+            self._ensure_initialized(coords, valid)
+            d, mets = self._eval_fn(self.params, coords, valid)
             self.record_set["bce"].append(float(d["bce"]))
             self.record_set["bces"].append(np.asarray(d["bces"]))
             self.record_set["bpp"].append(float(d["bpp"]))

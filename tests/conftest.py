@@ -34,6 +34,11 @@ assert jax.devices()[0].platform == "cpu", (
 # not a correctness requirement.
 jax.config.update("jax_default_matmul_precision", "highest")
 
+# Persistent compilation cache: full-model CPU compiles take minutes on this
+# single-core host; caching makes re-runs of unchanged computations instant.
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
 
 @pytest.fixture
 def rng():

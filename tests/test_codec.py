@@ -5,8 +5,9 @@ import numpy as np
 import optax
 import pytest
 
-from pcgcv2_tpu.codec.coder import Coder
-from pcgcv2_tpu.config import CapacityPlan
+from pcgcv2_tpu.codec import octree
+from pcgcv2_tpu.codec.coder import Coder, canonical_order
+from pcgcv2_tpu.config import BlockPlan
 from pcgcv2_tpu.data.synthetic import sphere_cloud
 from pcgcv2_tpu.data.voxelize import collate
 from pcgcv2_tpu.models import PCCModel
@@ -18,11 +19,13 @@ def ctx(tmp_path_factory):
     """Shared Coder (jit caches live per instance) + raw and briefly-trained
     params."""
     train_cloud = sphere_cloud(32, density=1.2, seed=7)
-    x = collate([train_cloud], capacity=2048)
-    plan = CapacityPlan(2048, 1024, 512, 256)
+    coords, valid = collate([train_cloud], capacity=2048)
+    plan = BlockPlan(res=64, nb=(256, 128, 64, 64))
     model = PCCModel(plan=plan, num_batches=1)
     params = jax.jit(
-        lambda k1, k2: model.init({"params": k1, "noise": k2}, x, True)
+        lambda k1, k2: model.init(
+            {"params": k1, "noise": k2}, coords, valid, True
+        )
     )(jax.random.PRNGKey(0), jax.random.PRNGKey(1))
 
     tx = optax.adam(8e-4)
@@ -31,8 +34,8 @@ def ctx(tmp_path_factory):
     @jax.jit
     def step(p, opt, rng):
         def loss_fn(p):
-            out = model.apply(p, x, True, rngs={"noise": rng})
-            return rd_loss(out, x, alpha=4.0, beta=1.0)["loss"]
+            out = model.apply(p, coords, valid, True, rngs={"noise": rng})
+            return rd_loss(out, alpha=4.0, beta=1.0)["loss"]
 
         loss, g = jax.value_and_grad(loss_fn)(p)
         up, opt = tx.update(g, opt)
@@ -46,7 +49,7 @@ def ctx(tmp_path_factory):
 
     out = tmp_path_factory.mktemp("codec")
     coder = Coder(
-        params, str(out / "frame"),
+        params, str(out / "frame"), res=64,
         input_granularity=4096, prune_granularity=512,
     )
     return dict(
@@ -60,14 +63,10 @@ def test_roundtrip_bottleneck_exact(ctx):
     the bitstream invertibility contract (ref coder.py:80-112)."""
     cloud = sphere_cloud(48, density=1.5, seed=3)
     coder = ctx["coder"]
-    y = coder.encode(cloud, postfix="_bx")
-    ny = int(y.count)
-    enc_feats = np.round(np.asarray(y.feats)[:ny])
-    enc_coords = np.asarray(y.coords)[:ny, 1:]
+    enc_coords, enc_feats = coder.encode(cloud, postfix="_bx")
 
     dec_coords = coder.coordinate_coder.decode("_bx")
-    order = np.lexsort((dec_coords[:, 2], dec_coords[:, 1], dec_coords[:, 0]))
-    dec_coords = dec_coords[order] * 8
+    dec_coords = dec_coords[canonical_order(dec_coords)]
     dec_feats = coder.feature_coder.decode("_bx")
 
     np.testing.assert_array_equal(dec_coords, enc_coords)
@@ -106,6 +105,26 @@ def test_bitstream_files_exist(ctx):
     assert sizes["_num_points.bin"] == 12
     assert sizes["_H.bin"] == 8 + 1 + 4 + 4  # ref header layout coder.py:51-55
     assert sizes["_C.bin"] > 0
+
+
+def test_coordinate_codec_roundtrips_any_order(ctx):
+    """Property test: random coordinate sets round-trip bit-exactly through
+    the built-in octree codec regardless of input order, and the canonical
+    order is reproducible on both sides (VERDICT missing #4)."""
+    rng = np.random.RandomState(3)
+    for trial in range(3):
+        pts = np.unique(rng.randint(0, 64, size=(500, 3)), axis=0)
+        shuffled = pts[rng.permutation(len(pts))]
+        blob = octree.encode(shuffled)
+        dec = octree.decode(blob)
+        # set equality
+        np.testing.assert_array_equal(
+            np.unique(dec, axis=0), np.unique(pts, axis=0)
+        )
+        # canonical order is invariant to what order the codec emits
+        np.testing.assert_array_equal(
+            dec[canonical_order(dec)], pts[canonical_order(pts)]
+        )
 
 
 def test_trained_model_reconstructs(ctx):

@@ -4,10 +4,11 @@ import numpy as np
 import optax
 import pytest
 
-from pcgcv2_tpu.config import CapacityPlan, ModelConfig
+from pcgcv2_tpu.config import BlockPlan, ModelConfig
 from pcgcv2_tpu.data.synthetic import sphere_cloud
 from pcgcv2_tpu.data.voxelize import collate
 from pcgcv2_tpu.models import PCCModel
+from pcgcv2_tpu.ops import blocks as B
 from pcgcv2_tpu.train.loss import cls_metrics, rd_loss
 
 
@@ -16,68 +17,79 @@ def setup():
     """One compile set shared by every test in this module (CPU compiles of
     the full model take ~30-70s each)."""
     clouds = [sphere_cloud(40, density=1.5, seed=s) for s in (0, 1)]
-    x = collate(clouds, capacity=8192)
-    plan = CapacityPlan(input=8192, scale1=6144, scale2=3072, scale3=1536)
+    coords, valid = collate(clouds, capacity=8192)
+    plan = BlockPlan(res=64, nb=(512, 256, 128, 64))
     model = PCCModel(config=ModelConfig(), plan=plan, num_batches=2)
     params = jax.jit(
-        lambda k1, k2: model.init({"params": k1, "noise": k2}, x, True)
+        lambda k1, k2: model.init(
+            {"params": k1, "noise": k2}, coords, valid, True
+        )
     )(jax.random.PRNGKey(0), jax.random.PRNGKey(1))
     fwd_train = jax.jit(
-        lambda p, rng: model.apply(p, x, True, rngs={"noise": rng})
+        lambda p, rng: model.apply(p, coords, valid, True,
+                                   rngs={"noise": rng})
     )
-    fwd_eval = jax.jit(lambda p: model.apply(p, x, False))
+    fwd_eval = jax.jit(lambda p: model.apply(p, coords, valid, False))
     out_train = fwd_train(params, jax.random.PRNGKey(2))
     out_eval = fwd_eval(params)
     return dict(
-        model=model, params=params, x=x, clouds=clouds,
-        out_train=out_train, out_eval=out_eval, plan=plan,
+        model=model, params=params, coords=coords, valid=valid,
+        clouds=clouds, out_train=out_train, out_eval=out_eval, plan=plan,
     )
 
 
 def test_forward_training(setup):
     out, model, clouds = setup["out_train"], setup["model"], setup["clouds"]
     assert len(out["out_cls_list"]) == 3
-    assert out["likelihood"].shape == (model.plan.scale3, 8)
+    prior = out["prior"]
+    assert out["likelihood"].shape == (prior.nb_cap, B.VOL, 8)
     lh = np.asarray(out["likelihood"])
     assert (lh > 0).all() and (lh <= 1 + 1e-6).all()
-    n3 = int(out["prior"].count)
-    assert 0 < n3 < model.plan.scale3
-    np.testing.assert_allclose(lh[n3:], 1.0)
-    counts = [int(gt.count) for gt in out["ground_truth_list"]]
+    # unoccupied slots carry likelihood exactly 1 (zero bits)
+    occ = np.asarray(prior.mask & prior.valid[:, None])
+    np.testing.assert_allclose(lh[~occ], 1.0)
+    n3 = int(prior.voxel_count())
+    assert 0 < n3 < sum(len(c) for c in clouds)
+    counts = [int(gt.voxel_count()) for gt in out["ground_truth_list"]]
     assert counts[2] == sum(len(c) for c in clouds)  # input preserved
     assert counts[0] < counts[1] < counts[2]  # pyramid shrinks
     # training prune keeps topk UNION gt => final count >= input count
-    assert int(out["out"].count) >= counts[2]
+    assert int(out["out"].voxel_count()) >= counts[2]
+    # no capacity overflow anywhere in the pipeline
+    assert int(out["out"].dropped) == 0
 
 
 def test_forward_eval_counts_exact(setup):
     out, clouds = setup["out_eval"], setup["clouds"]
     nums_final = np.asarray(out["nums_list"][2])
     np.testing.assert_array_equal(nums_final, [len(c) for c in clouds])
-    assert int(out["out"].count) == nums_final.sum()
-    yq = np.asarray(out["prior"].feats)[: int(out["prior"].count)]
+    assert int(out["out"].voxel_count()) == nums_final.sum()
+    prior = out["prior"]
+    occ = np.asarray(prior.mask & prior.valid[:, None])
+    yq = np.asarray(prior.feats)[occ]
     np.testing.assert_array_equal(yq, np.round(yq))
 
 
 def test_metrics_range(setup):
     out = setup["out_eval"]
-    for cls_sv, gt in zip(out["out_cls_list"], out["ground_truth_list"]):
-        m = np.asarray(jax.jit(cls_metrics, static_argnums=2)(cls_sv, gt, 2))
+    for cls_bg, gt in zip(out["out_cls_list"], out["ground_truth_list"]):
+        m = np.asarray(jax.jit(cls_metrics)(cls_bg, gt))
         assert ((m >= 0) & (m <= 1)).all()
 
 
 def test_grads_and_overfit(setup):
     """Gradients reach (nearly) all params and a few Adam steps reduce the
     RD loss — the end-to-end learning signal."""
-    model, x, params = setup["model"], setup["x"], setup["params"]
+    model, params = setup["model"], setup["params"]
+    coords, valid = setup["coords"], setup["valid"]
     tx = optax.adam(1e-3)
     opt_state = tx.init(params)
 
     @jax.jit
     def step(params, opt_state, rng):
         def loss_fn(p):
-            out = model.apply(p, x, True, rngs={"noise": rng})
-            return rd_loss(out, x, 1.0, 1.0)["loss"]
+            out = model.apply(p, coords, valid, True, rngs={"noise": rng})
+            return rd_loss(out, 1.0, 1.0)["loss"]
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
         updates, opt_state = tx.update(grads, opt_state)

@@ -1,0 +1,84 @@
+"""Trainer loop + checkpoint/resume tests (ref trainer.py has no tests;
+full-state resume is a capability the reference lacks — SURVEY.md §5)."""
+
+import glob
+import os
+
+import numpy as np
+import pytest
+
+from pcgcv2_tpu.config import BlockPlan, TrainConfig
+from pcgcv2_tpu.data.synthetic import sphere_cloud
+from pcgcv2_tpu.train.trainer import Trainer, load_params
+
+
+@pytest.fixture(scope="module")
+def trainer_ctx(tmp_path_factory):
+    td = tmp_path_factory.mktemp("trainer")
+    cfg = TrainConfig(batch_size=2, check_time=60.0, lr=1e-3)
+    plan = BlockPlan(res=32, nb=(128, 64, 64, 64))
+    tr = Trainer(
+        cfg, plan, capacity=2048,
+        logdir=str(td / "logs"), ckptdir=str(td / "ckpts"),
+    )
+    batches = [
+        [sphere_cloud(24, 1.0, 2 * i), sphere_cloud(24, 1.0, 2 * i + 1)]
+        for i in range(3)
+    ]
+    return dict(trainer=tr, batches=batches, td=td, cfg=cfg, plan=plan)
+
+
+def test_train_epoch_runs(trainer_ctx):
+    tr, batches = trainer_ctx["trainer"], trainer_ctx["batches"]
+    tr.train(batches)
+    assert tr.epoch == 1
+    assert glob.glob(os.path.join(tr.ckptdir, "*.ckpt"))
+    tr.test(batches)
+
+
+def test_lr_halving_schedule(trainer_ctx):
+    tr = trainer_ctx["trainer"]
+    lr0 = tr.lr
+    tr.train(trainer_ctx["batches"][:1])
+    assert tr.lr == lr0 / 2  # ref train.py:70
+
+
+def test_weights_checkpoint_roundtrip(trainer_ctx):
+    tr = trainer_ctx["trainer"]
+    path = tr.save_model("release.ckpt")
+    restored = load_params(path)
+    import jax
+
+    for a, b in zip(jax.tree.leaves(tr.params), jax.tree.leaves(restored)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_full_state_resume(trainer_ctx):
+    """save_state -> new Trainer -> restore_state -> continue training:
+    epoch counter, lr schedule, optimizer moments and RNG all survive."""
+    tr, batches = trainer_ctx["trainer"], trainer_ctx["batches"]
+    td, cfg, plan = trainer_ctx["td"], trainer_ctx["cfg"], trainer_ctx["plan"]
+    path = tr.save_state()
+
+    tr2 = Trainer(
+        cfg, plan, capacity=2048,
+        logdir=str(td / "logs2"), ckptdir=str(td / "ckpts2"),
+    )
+    from pcgcv2_tpu.data.voxelize import collate
+
+    coords, valid = collate(batches[0], capacity=2048)
+    tr2.restore_state(path, coords, valid)
+    assert tr2.epoch == tr.epoch
+    assert tr2.lr == tr.lr
+    np.testing.assert_array_equal(np.asarray(tr2.rng), np.asarray(tr.rng))
+    import jax
+
+    for a, b in zip(jax.tree.leaves(tr.params), jax.tree.leaves(tr2.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(
+        jax.tree.leaves(tr.opt_state), jax.tree.leaves(tr2.opt_state)
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # the restored trainer can keep training
+    tr2.train(batches[:1])
+    assert tr2.epoch == tr.epoch + 1
