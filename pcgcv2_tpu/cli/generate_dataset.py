@@ -17,11 +17,33 @@ def parse_args(argv=None):
     p.add_argument("--n_points", type=int, default=int(4e5))
     p.add_argument("--resolution", type=int, default=127)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--synthetic", type=int, default=0,
+                   help="generate N procedural surface clouds instead of "
+                        "sampling meshes (no mesh dataset required)")
     return p.parse_args(argv)
 
 
 def main(argv=None):
     args = parse_args(argv)
+    if args.synthetic:
+        import os
+
+        from pcgcv2_tpu.data.io import write_h5_geo, write_ply_ascii_geo
+        from pcgcv2_tpu.data.synthetic import random_surface_cloud
+
+        os.makedirs(args.pc_rootdir, exist_ok=True)
+        for i in range(args.synthetic):
+            pts = random_surface_cloud(
+                args.resolution + 1, seed=args.seed * 1_000_003 + i
+            )
+            stem = os.path.join(args.pc_rootdir, f"synth_{i:05d}")
+            if args.out_filetype == "ply":
+                write_ply_ascii_geo(stem + ".ply", pts)
+            else:
+                write_h5_geo(stem + ".h5", pts)
+        print("written:", args.synthetic)
+        return
+
     from pcgcv2_tpu.data.generate import generate_dataset, traverse_meshes
 
     meshes = traverse_meshes(args.mesh_rootdir)

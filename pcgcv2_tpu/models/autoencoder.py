@@ -20,6 +20,8 @@ from typing import List, Optional, Sequence, Tuple
 import jax.numpy as jnp
 from flax import linen as nn
 
+from flax import linen as flax_nn
+
 from pcgcv2_tpu.config import BlockPlan
 from pcgcv2_tpu.models.layers import (
     BConv3,
@@ -30,6 +32,12 @@ from pcgcv2_tpu.models.layers import (
 )
 from pcgcv2_tpu.ops import blocks as B
 from pcgcv2_tpu.ops.blocks import BlockGrid
+
+# Rematerialize each InceptionResNet block in the backward pass: its halo
+# gathers and intermediate conv activations dominate training HBM at vox10
+# scale (a [nb, 10^3, C] halo per 3^3 conv); recomputing them costs ~1/3 of
+# the forward FLOPs and cuts saved activations to the block inputs only.
+RematIRN = flax_nn.remat(BInceptionResNet)
 
 
 class Encoder(nn.Module):
@@ -51,9 +59,7 @@ class Encoder(nn.Module):
             out = relu(out)
             nbrs = B.neighbor_rows(out)
             for i in range(self.blocks):
-                out = BInceptionResNet(ch[s + 2], name=f"block{s}_{i}")(
-                    out, nbrs
-                )
+                out = RematIRN(ch[s + 2], name=f"block{s}_{i}")(out, nbrs)
             outs.append(out)
         out2 = BConv3(ch[5], name="conv3")(outs[2], B.neighbor_rows(outs[2]))
         # coarse -> fine, matching the reference's [out2, out1, out0]
@@ -88,9 +94,7 @@ class Decoder(nn.Module):
             nbrs = B.neighbor_rows(out)
             out = relu(BConv3(ch[s + 1], name=f"conv{s}")(out, nbrs))
             for i in range(self.blocks):
-                out = BInceptionResNet(ch[s + 1], name=f"block{s}_{i}")(
-                    out, nbrs
-                )
+                out = RematIRN(ch[s + 1], name=f"block{s}_{i}")(out, nbrs)
             cls = BConv3(1, name=f"conv{s}_cls")(out, nbrs)
             out_cls_list.append(cls)
             logits = cls.feats[:, :, 0]

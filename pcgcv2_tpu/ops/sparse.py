@@ -41,11 +41,16 @@ from typing import Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import struct
 
 from pcgcv2_tpu.ops import keys as K
 
-PAD_COORD_ARR = jnp.array(K.PAD_COORD, dtype=jnp.int32)
+# numpy, not jnp: a module-level jnp constant would initialize the JAX
+# backend at import time (blocking on the TPU tunnel in axon setups and
+# defeating later jax_platforms selection); jnp.where/broadcast_to
+# convert it on first use inside jit.
+PAD_COORD_ARR = np.array(K.PAD_COORD, dtype=np.int32)
 
 
 @struct.dataclass
@@ -380,7 +385,9 @@ def conv_up_generative(
 # Pruning (top-k occupancy selection)
 # ---------------------------------------------------------------------------
 
-_COMPACT_OFFSET = jnp.int64(1) << jnp.int64(61)
+# plain int, not jnp.int64: module-level device scalars initialize the JAX
+# backend at import time (see PAD_COORD_ARR note above)
+_COMPACT_OFFSET = 1 << 61
 
 
 def topk_mask(

@@ -12,9 +12,13 @@ import os
 
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    flags += " --xla_force_host_platform_device_count=8"
+# Compile-time over run-time for tests: full-model CPU compiles drop ~7x
+# (98s -> 14s measured for PCCModel.init) at optimization level 0, and test
+# shapes are tiny so the slower generated code is irrelevant.
+if "xla_backend_optimization_level" not in flags:
+    flags += " --xla_backend_optimization_level=0"
+os.environ["XLA_FLAGS"] = flags.strip()
 
 import jax  # noqa: E402
 import numpy as np  # noqa: E402

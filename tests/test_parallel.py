@@ -42,14 +42,17 @@ def test_collate_on_device_matches_host(rng):
 
 @pytest.mark.slow
 def test_dp_step_runs_and_matches_single_device():
+    # tiny shapes: the XLA CPU in-process all-reduce aborts if the virtual
+    # device threads arrive at the rendezvous > 40s apart (one host core
+    # runs all of them) — see __graft_entry__.dryrun_multichip
     n_dev = 4
     local_batch = 1
     mesh = make_mesh(n_dev)
-    clouds = [sphere_cloud(24, 1.0, s) for s in range(n_dev * local_batch)]
-    coords, counts = pad_batch(clouds, item_capacity=1024)
+    clouds = [sphere_cloud(12, 1.0, s) for s in range(n_dev * local_batch)]
+    coords, counts = pad_batch(clouds, item_capacity=128)
     coords, counts = jnp.asarray(coords), jnp.asarray(counts)
 
-    plan = BlockPlan(res=32, nb=(128, 64, 64, 64))
+    plan = BlockPlan(res=16, nb=(32, 16, 16, 16))
     model = PCCModel(plan=plan, num_batches=local_batch)
     rows0, valid0 = jax.jit(collate_on_device)(coords[:1], counts[:1])
     params = jax.jit(
