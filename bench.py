@@ -23,7 +23,32 @@ import numpy as np
 BASELINE_S = 1.226  # ref enc+dec s/frame, longdress vox10 @ r3
 
 
+def _ensure_backend() -> None:
+    """Probe the JAX backend; on TPU-plugin setup failure (transient tunnel
+    errors were recorded in BENCH_r02), retry, then fall back to the
+    auto-chosen platform by re-execing — a valid (slower) number beats rc=1."""
+    import os
+    import subprocess
+
+    probe = "import jax; jax.devices()"
+    for attempt in range(3):
+        r = subprocess.run(
+            [sys.executable, "-c", probe], capture_output=True, text=True
+        )
+        if r.returncode == 0:
+            return
+        print(f"# backend probe failed (attempt {attempt + 1}): "
+              f"{r.stderr.strip().splitlines()[-1] if r.stderr else '?'}",
+              file=sys.stderr)
+        time.sleep(15)
+    if os.environ.get("JAX_PLATFORMS") and not os.environ.get("_BENCH_REEXEC"):
+        print("# falling back to auto platform selection", file=sys.stderr)
+        env = dict(os.environ, JAX_PLATFORMS="", _BENCH_REEXEC="1")
+        os.execve(sys.executable, [sys.executable] + sys.argv, env)
+
+
 def main() -> None:
+    _ensure_backend()
     import jax
 
     from pcgcv2_tpu.codec.coder import Coder

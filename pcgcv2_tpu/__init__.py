@@ -24,14 +24,12 @@ parallel  device-mesh sharding: data-parallel training over ICI via shard_map
           (the reference is single-GPU; this is new capability)
 """
 
-import jax
-
-# Coordinate keys are mixed-radix raveled int64 scalars (14 bits/axis * 3 axes
-# + batch), which requires 64-bit integer support.  Floating point stays
-# explicitly float32/bfloat16 everywhere (TPUs have no f64); every array
-# constructor in this package passes an explicit dtype.
-jax.config.update("jax_enable_x64", True)
+# NOTE on dtypes: the production compute path (ops.blocks + models + codec)
+# is pure int32/float32 — block keys fit int32 under the MAX_TABLE_CELLS
+# guard.  jax_enable_x64 must stay OFF: with it on, flax parameter inits
+# default to float64, which TPUs emulate as float32 pairs (~10x compile and
+# runtime cost; observed as a 22.5 GB paired-f32 broadcast OOM at vox10
+# scale).  Only the sparse test oracle (ops.sparse / ops.keys) needs int64
+# raveled keys; tests/conftest.py enables x64 for the CPU-only test suite.
 
 __version__ = "0.1.0"
-
-from pcgcv2_tpu.ops.sparse import SparseVoxels  # noqa: E402,F401

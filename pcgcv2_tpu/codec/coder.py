@@ -191,12 +191,17 @@ class Coder:
     def _decode_fn(self, plan: BlockPlan, out_cap: int):
         model = self._model(plan)
         nb3 = plan.nb[3]
-        res = plan.res
+        # The bottleneck grid lives at stride 8: its grid resolution is
+        # plan.res // 8 (the encoder's three conv_down halvings), NOT
+        # plan.res — the full-res value would allocate an 8x-per-axis
+        # (512x cells) lookup table and the three conv_up doublings would
+        # then blow past MAX_TABLE_CELLS at vox10.
+        res_y = max(1, plan.res // 8)
 
         @jax.jit
         def fn(params, rows, feats, valid, nums):
             y = B.blockify(
-                rows, feats, valid, nb3, stride=8, res=res, num_batches=1
+                rows, feats, valid, nb3, stride=8, res=res_y, num_batches=1
             )
             nums_list = [nums[0:1], nums[1:2], nums[2:3]]
             out = model.apply(

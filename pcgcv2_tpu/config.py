@@ -91,6 +91,12 @@ class BlockPlan:
     res: int
     nb: Tuple[int, int, int, int]
     dec_nb: Tuple[int, int, int] = ()
+    # Pre-prune capacity factor per decoder stage: up_cap = factor * input
+    # block cap.  8 is the static worst case (every parent block spawns 8
+    # occupied child blocks); surfaces realistically spawn ~4, so the codec
+    # path (for_cloud) uses tighter factors — overflow is detected at
+    # runtime (BlockGrid.dropped) and raises rather than corrupting.
+    up_factors: Tuple[int, int, int] = (8, 8, 8)
 
     def __post_init__(self):
         if not self.dec_nb:
@@ -122,7 +128,7 @@ class BlockPlan:
                 max(round_to, _round_up(int(nb0 * r), round_to)))
             for s, r in enumerate(ratios)
         )
-        return cls(res=res, nb=nb)
+        return cls(res=res, nb=nb, up_factors=(6, 5, 4))
 
     @classmethod
     def for_training(
@@ -162,7 +168,7 @@ class BlockPlan:
     def up_cap(self, stage: int) -> int:
         """Pre-prune cap for decoder stage `stage` (0 = stride 8 -> 4)."""
         prev = self.nb[3] if stage == 0 else self.dec_nb[stage - 1]
-        return 8 * prev
+        return self.up_factors[stage] * prev
 
 
 @dataclasses.dataclass(frozen=True)

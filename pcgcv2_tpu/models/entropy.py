@@ -99,6 +99,7 @@ class EntropyBottleneck(nn.Module):
                     f"factor_{i}",
                     nn.initializers.zeros,
                     (self.channels, dims[i + 1], 1),
+                    jnp.float32,
                 )
             )
         self._matrices = matrices

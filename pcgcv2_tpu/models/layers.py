@@ -34,9 +34,12 @@ class BConv3(nn.Module):
     @nn.compact
     def __call__(self, bg: BlockGrid, nbrs) -> BlockGrid:
         w = self.param(
-            "kernel", kernel_init, (3, 3, 3, bg.channels, self.features)
+            "kernel", kernel_init,
+            (3, 3, 3, bg.channels, self.features), jnp.float32,
         )
-        b = self.param("bias", nn.initializers.zeros, (self.features,))
+        b = self.param(
+            "bias", nn.initializers.zeros, (self.features,), jnp.float32
+        )
         return B.conv3(bg, nbrs, w, b)
 
 
@@ -49,9 +52,12 @@ class BConv1(nn.Module):
     @nn.compact
     def __call__(self, bg: BlockGrid) -> BlockGrid:
         w = self.param(
-            "kernel", kernel_init, (1, bg.channels, self.features)
+            "kernel", kernel_init,
+            (1, bg.channels, self.features), jnp.float32,
         )
-        b = self.param("bias", nn.initializers.zeros, (self.features,))
+        b = self.param(
+            "bias", nn.initializers.zeros, (self.features,), jnp.float32
+        )
         out = (
             jnp.dot(
                 bg.feats.reshape(-1, bg.channels), w[0],
@@ -70,8 +76,13 @@ class BConvDown(nn.Module):
 
     @nn.compact
     def __call__(self, bg: BlockGrid) -> BlockGrid:
-        w = self.param("kernel", kernel_init, (8, bg.channels, self.features))
-        b = self.param("bias", nn.initializers.zeros, (self.features,))
+        w = self.param(
+            "kernel", kernel_init,
+            (8, bg.channels, self.features), jnp.float32,
+        )
+        b = self.param(
+            "bias", nn.initializers.zeros, (self.features,), jnp.float32
+        )
         return B.conv_down(bg, w, b, self.out_cap)
 
 
@@ -85,8 +96,13 @@ class BGenUp(nn.Module):
 
     @nn.compact
     def __call__(self, bg: BlockGrid) -> BlockGrid:
-        w = self.param("kernel", kernel_init, (8, bg.channels, self.features))
-        b = self.param("bias", nn.initializers.zeros, (self.features,))
+        w = self.param(
+            "kernel", kernel_init,
+            (8, bg.channels, self.features), jnp.float32,
+        )
+        b = self.param(
+            "bias", nn.initializers.zeros, (self.features,), jnp.float32
+        )
         return B.conv_up_generative(bg, w, b, self.out_cap)
 
 

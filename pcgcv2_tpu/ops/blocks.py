@@ -375,6 +375,52 @@ def halo(bg: BlockGrid, nbrs: jax.Array, dtype=None) -> jax.Array:
     return h.reshape(nb, BS + 2, BS + 2, BS + 2, ch)
 
 
+# Blocks per lax.map chunk in the large-grid conv3 path.  4096 blocks keep
+# the MXU batch large while bounding the per-chunk halo to
+# 4096 * 10^3 * C floats (~1 GB at C=64 f32) regardless of grid size.
+CONV3_CHUNK = 4096
+
+_SL = {0: (BS - 1, BS), 1: (0, BS), 2: (0, 1)}  # neighbor-offset -> slab slice
+
+
+def _halo_chunk(blk: jax.Array, nbrs: jax.Array, ch: int) -> jax.Array:
+    """Assemble [m, 10, 10, 10, C] halos for a chunk of blocks by gathering
+    27 slabs per block from the full folded block tensor.
+
+    blk: [nb, BS, BS, BS*ch] (folded z*C lanes); nbrs: [m, 3, 3, 3] rows.
+    Unlike `halo`, this never needs the x-padded tensor of *other* rows, so
+    it works on an arbitrary row subset — the big-grid chunking primitive.
+    """
+    parts_x = []
+    for dx in (0, 1, 2):
+        x0, x1 = _SL[dx]
+        parts_y = []
+        for dy in (0, 1, 2):
+            y0, y1 = _SL[dy]
+            parts_z = []
+            for dz in (0, 1, 2):
+                z0, z1 = _SL[dz]
+                rows = nbrs[:, dx, dy, dz]
+                piece = blk[rows][:, x0:x1, y0:y1, z0 * ch:z1 * ch]
+                parts_z.append(piece)
+            parts_y.append(jnp.concatenate(parts_z, axis=3))
+        parts_x.append(jnp.concatenate(parts_y, axis=2))
+    h = jnp.concatenate(parts_x, axis=1)  # [m, 10, 10, 10*ch]
+    return h.reshape(h.shape[0], BS + 2, BS + 2, BS + 2, ch)
+
+
+def _conv3_dense(h: jax.Array, weight, bias, compute_dtype):
+    out = jax.lax.conv_general_dilated(
+        h, weight.astype(compute_dtype),
+        window_strides=(1, 1, 1), padding="VALID",
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        preferred_element_type=jnp.float32,
+    )
+    if bias is not None:
+        out = out + bias
+    return out
+
+
 def conv3(
     bg: BlockGrid,
     nbrs: jax.Array,
@@ -392,6 +438,13 @@ def conv3(
     Inputs with fewer than 16 channels are zero-padded to 16 (with matching
     zero weight rows) so the halo's folded lane axis is >= 128 wide — narrow
     lanes pad up to 16x in HBM on TPU.
+
+    Grids larger than 2 * CONV3_CHUNK blocks are processed in lax.map
+    chunks: the [nb, 10^3, C] halo of a vox10-scale grid is several HBM's
+    worth if materialized whole (11 GB at 172k blocks, C=16), but each
+    chunk's halo is bounded and the full feats tensor stays resident once.
+    Each chunk body is jax.checkpoint'ed so the backward pass re-assembles
+    halos per chunk instead of saving them all.
     """
     ch = bg.channels
     if ch < 16:
@@ -401,16 +454,32 @@ def conv3(
         weight = jnp.pad(
             weight, ((0, 0), (0, 0), (0, 0), (0, 16 - ch), (0, 0))
         )
-    h = halo(bg, nbrs, dtype=compute_dtype)
-    out = jax.lax.conv_general_dilated(
-        h, weight.astype(compute_dtype),
-        window_strides=(1, 1, 1), padding="VALID",
-        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
-        preferred_element_type=jnp.float32,
-    )
-    if bias is not None:
-        out = out + bias
-    return bg.with_feats(out.astype(bg.feats.dtype).reshape(bg.nb_cap, VOL, -1))
+        ch = 16
+    nb = bg.nb_cap
+    if nb <= 2 * CONV3_CHUNK:
+        h = halo(bg, nbrs, dtype=compute_dtype)
+        out = _conv3_dense(h, weight, bias, compute_dtype)
+        out = out.reshape(nb, VOL, -1)
+    else:
+        blk = bg.feats.astype(compute_dtype).reshape(nb, BS, BS, BS * ch)
+        n_chunks = -(-nb // CONV3_CHUNK)
+        pad_rows = n_chunks * CONV3_CHUNK - nb
+        # padding rows point at the invalid all-zero row; their outputs are
+        # sliced off below
+        nbrs_p = jnp.pad(
+            nbrs, ((0, pad_rows), (0, 0), (0, 0), (0, 0)),
+            constant_values=nb - 1,
+        ).reshape(n_chunks, CONV3_CHUNK, 3, 3, 3)
+
+        @jax.checkpoint
+        def body(nc):
+            h = _halo_chunk(blk, nc, ch)
+            o = _conv3_dense(h, weight, bias, compute_dtype)
+            return o.reshape(CONV3_CHUNK, VOL, o.shape[-1])
+
+        out = jax.lax.map(body, nbrs_p)
+        out = out.reshape(n_chunks * CONV3_CHUNK, VOL, -1)[:nb]
+    return bg.with_feats(out.astype(bg.feats.dtype))
 
 
 # ---------------------------------------------------------------------------
@@ -458,16 +527,21 @@ def conv_down(
     """
     nb, ch = bg.nb_cap, bg.channels
     cout = weight.shape[-1]
+    check_table_size(bg.res // 2, bg.num_batches)
     gp = grid_dim(bg.res // 2)
 
-    # in-block 2x2x2 window conv -> [nb, 4, 4, 4, Cout]
-    x = bg.blocks.astype(compute_dtype).reshape(nb, 4, 2, 4, 2, 4, 2, ch)
-    x = x.transpose(0, 1, 3, 5, 2, 4, 6, 7).reshape(nb, 64, 8 * ch)
+    # In-block 2x2x2 window conv -> [nb, 4, 4, 4, Cout] as a native strided
+    # convolution.  NOT a reshape-transpose-matmul: the 8-D transpose that
+    # formulation needs gets materialized (and remat-copied in backward)
+    # with tiny (2, C) minor dims that TPU tiling pads up to 8x — a 4 GB
+    # temp at training scale (observed OOM).
+    x = bg.blocks.astype(compute_dtype)  # [nb, 8, 8, 8, ch]
     w = weight.astype(compute_dtype).reshape(2, 2, 2, ch, cout)
-    w = w.reshape(8 * ch, cout)  # [dx, dy, dz, cin] raveled — matches x
-    y = jnp.dot(
-        x.reshape(-1, 8 * ch), w, preferred_element_type=jnp.float32
-    ).reshape(nb, 4, 4, 4, cout)
+    y = jax.lax.conv_general_dilated(
+        x, w, window_strides=(2, 2, 2), padding="VALID",
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        preferred_element_type=jnp.float32,
+    )  # [nb, 4, 4, 4, cout]
     if bias is not None:
         y = y + bias
     m = bg.mask.reshape(nb, 4, 2, 4, 2, 4, 2)
@@ -489,16 +563,30 @@ def conv_down(
     )
     pvalid = jnp.arange(nb_cap_out, dtype=jnp.int32) < pcount
 
-    # gather each parent's 8 children octants (children live at this scale's
+    # Gather each parent's 8 children octants (children live at this scale's
     # *input* block grid; their down-convolved [4,4,4] tensors are in `y`).
     # Misses point at row nb-1, which is invalid and all-zero by invariant.
+    # Assembly is 8 per-octant row gathers + folded slice writes — zero
+    # transposes (a transposed assembly materializes tiny-minor-dim buffers
+    # that TPU tiling pads 4-8x).
     ch_rows = _child_rows(bg, pcoords, pvalid)  # [nbp, 2, 2, 2]
-    oct_f = y[ch_rows]  # [nbp, 2, 2, 2, 4, 4, 4, Cout]
-    oct_m = m_down[ch_rows]
-    pf = oct_f.transpose(0, 1, 4, 2, 5, 3, 6, 7).reshape(
-        nb_cap_out, VOL, cout
-    )
-    pm = oct_m.transpose(0, 1, 4, 2, 5, 3, 6).reshape(nb_cap_out, VOL)
+    y_f = y.reshape(nb, 4, 4, 4 * cout)  # fold (z, C) lanes
+    pf = jnp.zeros((nb_cap_out, BS, BS, BS * cout), y.dtype)
+    pm = jnp.zeros((nb_cap_out, BS, BS, BS), bool)
+    for ox in (0, 1):
+        for oy in (0, 1):
+            for oz in (0, 1):
+                rows = ch_rows[:, ox, oy, oz]
+                pf = pf.at[
+                    :, ox * 4:ox * 4 + 4, oy * 4:oy * 4 + 4,
+                    oz * 4 * cout:(oz + 1) * 4 * cout,
+                ].set(y_f[rows])
+                pm = pm.at[
+                    :, ox * 4:ox * 4 + 4, oy * 4:oy * 4 + 4,
+                    oz * 4:oz * 4 + 4,
+                ].set(m_down[rows])
+    pf = pf.reshape(nb_cap_out, VOL, cout)
+    pm = pm.reshape(nb_cap_out, VOL)
     pf = jnp.where(pvalid[:, None, None], pf, 0)
     pm = pm & pvalid[:, None]
     pf = jnp.where(pm[:, :, None], pf, 0)
@@ -528,42 +616,54 @@ def conv_up_generative(
     nb, ch = bg.nb_cap, bg.channels
     cout = weight.shape[-1]
     res_out = bg.res * 2
+    check_table_size(res_out, bg.num_batches)
     g_out = grid_dim(res_out)
 
-    wf = weight.astype(compute_dtype)  # [8, Cin, Cout]
-    y = jnp.einsum(
-        "nvc,kco->nvko", bg.feats.astype(compute_dtype), wf,
+    # Native transposed convolution: every occupied voxel broadcasts into
+    # its 2^3 children in a [16, 16, 16] double-resolution block, then the 8
+    # child blocks are folded-lane SLICES of it — zero transposes, zero
+    # per-voxel indexing.  (Earlier formulations — an einsum with a batch-8
+    # axis, or per-octant 8-D transposes — materialize lane-padded buffers
+    # that blow up 4-8x in HBM and OOM'd at vox10 scale.)
+    x = bg.blocks.astype(compute_dtype)  # [nb, 8, 8, 8, ch]
+    # conv_transpose applies the kernel mirrored relative to our child-offset
+    # stencil convention (w[k] = weight of child (dx,dy,dz), x-major); flip
+    # the spatial axes so child (dx,dy,dz) = parent * 2 + (dx,dy,dz) gets
+    # w[dx,dy,dz] exactly (validated against the sparse oracle).
+    w = weight.astype(compute_dtype).reshape(2, 2, 2, ch, cout)
+    w = w[::-1, ::-1, ::-1]
+    y_big = jax.lax.conv_transpose(
+        x, w, strides=(2, 2, 2), padding="VALID",
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
         preferred_element_type=jnp.float32,
-    )  # [nb, VOL, 8, Cout]
+    )  # [nb, 16, 16, 16, cout]
     if bias is not None:
-        y = y + bias
-    y = jnp.where(bg.mask[:, :, None, None], y, 0).astype(bg.feats.dtype)
-    cm = jnp.broadcast_to(bg.mask[:, :, None], (nb, VOL, 8))
+        y_big = y_big + bias
+    # child-voxel mask: each parent voxel's 8 children are occupied
+    m = bg.mask.reshape(nb, BS, 1, BS, 1, BS, 1)
+    m_big = jnp.broadcast_to(
+        m, (nb, BS, 2, BS, 2, BS, 2)
+    ).reshape(nb, 16, 16, 16)
+    y_big = jnp.where(m_big[..., None], y_big, 0).astype(bg.feats.dtype)
+    y_fold = y_big.reshape(nb, 16, 16, 16 * cout)
 
-    # Split each parent block into 8 child blocks.  Parent slot p = (px,py,pz)
-    # with px = ox*4 + hx; child offset c = (cx,cy,cz).  The child block is
-    # octant (ox,oy,oz); the in-child coordinate is (hx*2+cx, hy*2+cy, ...).
-    # One slice + 8-D transpose per octant — a single 11-D transpose makes
-    # XLA materialize a tiny-minor-dim intermediate that pads 8x in HBM.
-    y = y.reshape(nb, BS, BS, BS, 2, 2, 2, cout)
-    m = cm.reshape(nb, BS, BS, BS, 2, 2, 2)
     child_f_parts = []
     child_m_parts = []
     for ox in (0, 1):
         for oy in (0, 1):
             for oz in (0, 1):
-                yp = y[
-                    :, ox * 4:ox * 4 + 4, oy * 4:oy * 4 + 4,
-                    oz * 4:oz * 4 + 4, :, :, :, :,
-                ]
-                # [nb, hx, hy, hz, cx, cy, cz, C] -> [nb, hx,cx, hy,cy, hz,cz, C]
-                yp = yp.transpose(0, 1, 4, 2, 5, 3, 6, 7)
-                child_f_parts.append(yp.reshape(nb, VOL, cout))
-                mp = m[
-                    :, ox * 4:ox * 4 + 4, oy * 4:oy * 4 + 4,
-                    oz * 4:oz * 4 + 4, :, :, :,
-                ].transpose(0, 1, 4, 2, 5, 3, 6)
-                child_m_parts.append(mp.reshape(nb, VOL))
+                child_f_parts.append(
+                    y_fold[
+                        :, ox * 8:ox * 8 + 8, oy * 8:oy * 8 + 8,
+                        oz * 8 * cout:(oz + 1) * 8 * cout,
+                    ].reshape(nb, VOL, cout)
+                )
+                child_m_parts.append(
+                    m_big[
+                        :, ox * 8:ox * 8 + 8, oy * 8:oy * 8 + 8,
+                        oz * 8:oz * 8 + 8,
+                    ].reshape(nb, VOL)
+                )
     # [nb, 8(oct, ox-major), VOL, C] -> [nb*8, VOL, C]
     child_f = jnp.stack(child_f_parts, axis=1).reshape(nb * 8, VOL, cout)
     child_m = jnp.stack(child_m_parts, axis=1).reshape(nb * 8, VOL)
@@ -578,7 +678,14 @@ def conv_up_generative(
     ckey = _flat_block_key(
         jnp.concatenate([cb, cxyz], axis=-1), g_out, bg.num_batches
     ).reshape(-1)
-    cvalid = jnp.broadcast_to(bg.valid[:, None], (nb, 8)).reshape(-1)
+    # Only child blocks that actually contain occupied slots become output
+    # blocks: a parent block's surface typically crosses ~4 of its 8 child
+    # blocks, so this keeps true output block counts (and therefore viable
+    # nb_cap_out values) ~2x smaller than the all-8 static worst case.
+    cvalid = (
+        jnp.broadcast_to(bg.valid[:, None], (nb, 8)).reshape(-1)
+        & child_m.any(axis=1)
+    )
     occ = jnp.zeros((bg.num_batches * g_out ** 3,), bool)
     occ = occ.at[
         jnp.where(cvalid, ckey, bg.num_batches * g_out ** 3)

@@ -12,6 +12,10 @@ that sorted key vector — fully on device, with static shapes.
 Unlike the reference (which recomputes a data-dependent radix `max()+1` per
 call), we use a fixed radix R = 2**COORD_BITS per axis so keys are stable
 across calls, strides and scales, and never require a host sync.
+
+NOTE: int64 keys require `jax_enable_x64` (tests/conftest.py turns it on);
+the production block backend (ops/blocks.py) is int32-native and the package
+deliberately leaves x64 off — this module is test-oracle support only.
 """
 
 from __future__ import annotations

@@ -58,6 +58,9 @@ def make_optimizer(weight_decay: float):
     """torch.optim.Adam(lr, betas=(0.9, 0.999), weight_decay=wd) equivalent."""
 
     def tx_factory(lr):
+        # pin f32: under x64 (test suite) an injected python-float lr becomes
+        # f64 and would promote every parameter through the update
+        lr = jnp.asarray(lr, jnp.float32)
         return optax.chain(
             optax.add_decayed_weights(weight_decay),
             optax.scale_by_adam(b1=0.9, b2=0.999),
@@ -257,9 +260,15 @@ class Trainer:
             )
             n_steps += 1
             if int(n_drop):
-                self.logger.info(
-                    f"WARNING: step dropped {int(n_drop)} blocks "
-                    f"(plan {self.plan} too small for this batch)"
+                # BlockGrid.dropped contract (ops/blocks.py): nonzero means
+                # the step ran on corrupted geometry — surface loudly.  The
+                # parameters already absorbed the update; warn so the user
+                # resizes the plan (the codec path raises instead).
+                self.logger.warning(
+                    f"step dropped {int(n_drop)} occupied blocks "
+                    f"(plan {self.plan} too small for this batch) — "
+                    f"this step trained on corrupted geometry; raise the "
+                    f"BlockPlan capacities"
                 )
             self.record_set["bce"].append(float(d["bce"]))
             self.record_set["bces"].append(np.asarray(d["bces"]))

@@ -64,22 +64,29 @@ def main():
     bg16 = bg.with_feats(
         jnp.asarray(rng.randn(bg.nb_cap, B.VOL, 16).astype(np.float32))
     )
-    for ch in (16, 32, 64):
-        bgc = bg16 if ch == 16 else bg16.with_feats(
-            jnp.broadcast_to(bg16.feats, (bg.nb_cap, B.VOL, ch)).reshape(
-                bg.nb_cap, B.VOL, ch)
-        )
+    # channel width at the block count of the scale where it actually occurs
+    # in the model (channels (1,16,32,64,...) at strides (1,2,4)):
+    for ch, nb_s, stride_s in ((16, plan.nb[0], 1), (32, plan.nb[1], 2),
+                               (64, plan.nb[2], 4)):
+        sub = np.unique((cloud // stride_s) * stride_s, axis=0)
+        c_s, v_s = collate([sub], capacity=len(sub))
+        bgc = jax.jit(lambda c, f, v, nb_s=nb_s, stride_s=stride_s:
+                      B.blockify(c, f, v, nb_s, stride=stride_s,
+                                 res=1024 // stride_s, num_batches=1))(
+            jnp.asarray(c_s),
+            jnp.asarray(rng.randn(len(sub), ch).astype(np.float32)),
+            jnp.asarray(v_s))
+        nbrs_c = jax.jit(B.neighbor_rows)(bgc)
         w = jnp.asarray(rng.randn(3, 3, 3, ch, ch).astype(np.float32) * 0.05)
-        # FLOPs: 2 * voxels_in_halo * 27 * ch * ch ~ 2 * nb*1000 * 27ch^2
-        flops = 2 * bg.nb_cap * 1000 * 27 * ch * ch
-        out = timed(f"conv3 {ch}->{ch} (halo + MXU conv)",
-                    jax.jit(lambda g, nb, w: B.conv3(g, nb, w, None)),
-                    bgc, nbrs, w)
+        fn = jax.jit(lambda g, nb, w: B.conv3(g, nb, w, None))
+        out = timed(f"conv3 {ch}->{ch} @ nb_cap {nb_s}", fn, bgc, nbrs_c, w)
+        # FLOPs: 2 * slots_in_halo * 27 * ch * ch
+        flops = 2 * nb_s * 1000 * 27 * ch * ch
         t0 = time.perf_counter()
-        jax.block_until_ready(jax.jit(
-            lambda g, nb, w: B.conv3(g, nb, w, None))(bgc, nbrs, w))
+        jax.block_until_ready(fn(bgc, nbrs_c, w))
         dt = time.perf_counter() - t0
         print(f"  ~{flops / dt / 1e12:.2f} TFLOP/s effective")
+        del bgc, nbrs_c, out
 
     wd = jnp.asarray(rng.randn(8, 16, 32).astype(np.float32) * 0.05)
     dn = timed("conv_down 16->32 (reshape-matmul + octant merge)",

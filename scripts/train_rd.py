@@ -1,0 +1,108 @@
+"""Train the flagship model at several rate points and save checkpoints.
+
+The reference releases 7 rate-point checkpoints r1_0.025bpp..r7_0.4bpp
+(ref /root/reference/test.py:116-119) trained on voxelized ModelNet40 meshes
+(generate_dataset.py, res 127).  ModelNet is not redistributable in this
+environment, so training data is the self-contained synthetic surface
+generator (data/synthetic.py: deformed spheres / tori / boxes at res 127 —
+the same occupancy statistics class).  Rate points follow the reference's
+recipe of sweeping the distortion weight alpha at fixed beta=1
+(ref trainer loss, trainer.py:134).
+
+Run on the real chip:
+    PYTHONPATH=/root/repo:/root/.axon_site python scripts/train_rd.py \
+        --epochs 12 --clouds 240 --points r1:0.5 r2:2 r3:8
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--clouds", type=int, default=240,
+                   help="number of synthetic training clouds")
+    p.add_argument("--res", type=int, default=128)
+    p.add_argument("--density", type=float, default=2.0)
+    p.add_argument("--epochs", type=int, default=12)
+    p.add_argument("--batch_size", type=int, default=8)
+    p.add_argument("--batch_capacity", type=int, default=524288)
+    p.add_argument("--lr", type=float, default=8e-4)
+    p.add_argument("--points", nargs="+", default=["r1:0.5", "r2:2", "r3:8"],
+                   help="rate points as name:alpha (beta fixed at 1)")
+    p.add_argument("--ckptroot", default="./ckpts")
+    p.add_argument("--seed", type=int, default=0)
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    from pcgcv2_tpu.config import BlockPlan, TrainConfig
+    from pcgcv2_tpu.data.synthetic import random_surface_cloud
+    from pcgcv2_tpu.train.trainer import Trainer
+
+    print("generating synthetic training surfaces...", flush=True)
+    t0 = time.time()
+    clouds = [
+        random_surface_cloud(args.res - 1, seed=s, density=args.density)
+        for s in range(args.clouds)
+    ]
+    sizes = sorted(len(c) for c in clouds)
+    print(f"{len(clouds)} clouds in {time.time() - t0:.0f}s; "
+          f"sizes p10/p50/p90 = {sizes[len(sizes)//10]}/"
+          f"{sizes[len(sizes)//2]}/{sizes[9*len(sizes)//10]}", flush=True)
+
+    split = max(1, len(clouds) // 10)
+    test_clouds, train_clouds = clouds[:split], clouds[split:]
+
+    plan = BlockPlan.for_training(
+        args.batch_capacity, args.res, args.batch_size
+    )
+    print("plan:", plan, flush=True)
+
+    for point in args.points:
+        name, alpha_s = point.split(":")
+        alpha = float(alpha_s)
+        cfg = TrainConfig(
+            alpha=alpha, beta=1.0, lr=args.lr,
+            batch_size=args.batch_size, epochs=args.epochs,
+            check_time=30.0,
+        )
+        ckptdir = os.path.join(args.ckptroot, name)
+        tr = Trainer(
+            cfg, plan, args.batch_capacity,
+            logdir=os.path.join("./logs", name), ckptdir=ckptdir,
+            seed=args.seed,
+        )
+        tr.logger.info(f"=== rate point {name}: alpha={alpha} beta=1 ===")
+        import numpy as np
+
+        rng = np.random.RandomState(args.seed)
+        for epoch in range(args.epochs):
+            order = rng.permutation(len(train_clouds))
+            batches = [
+                [train_clouds[j] for j in order[i:i + args.batch_size]]
+                for i in range(0, len(order) - args.batch_size + 1,
+                               args.batch_size)
+            ]
+            t0 = time.time()
+            tr.train(batches)
+            tr.logger.info(
+                f"epoch {epoch} took {time.time() - t0:.0f}s"
+            )
+            test_batches = [
+                test_clouds[i:i + args.batch_size]
+                for i in range(0, len(test_clouds), args.batch_size)
+            ]
+            tr.test(test_batches)
+        final = tr.save_model(f"{name}_final.ckpt")
+        tr.logger.info(f"saved {final}")
+        print(f"[{name}] done -> {final}", flush=True)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

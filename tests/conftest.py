@@ -38,10 +38,20 @@ assert jax.devices()[0].platform == "cpu", (
 # not a correctness requirement.
 jax.config.update("jax_default_matmul_precision", "highest")
 
+# The sparse test oracle (ops.sparse / ops.keys) ravels coordinates into
+# int64 keys; production code is int32/float32 throughout (explicit dtypes),
+# so enabling x64 here affects only the oracle.  The package itself must NOT
+# enable x64 (f64 emulation wrecks TPU compile/runtime — see
+# pcgcv2_tpu/__init__.py).
+jax.config.update("jax_enable_x64", True)
+
 # Persistent compilation cache: full-model CPU compiles take minutes on this
 # single-core host; caching makes re-runs of unchanged computations instant.
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+# Machine-keyed (pcgcv2_tpu.cache): XLA:CPU AOT artifacts are CPU-feature-
+# specialized and poisonous when loaded on a different host.
+from pcgcv2_tpu.cache import enable_persistent_cache  # noqa: E402
+
+enable_persistent_cache(jax)
 
 
 @pytest.fixture

@@ -296,3 +296,41 @@ def test_blockify_jit_grad(rng):
     for gi in g:
         assert bool(jnp.isfinite(gi).all())
         assert float(jnp.abs(gi).sum()) > 0
+
+
+def test_conv3_chunked_matches_unchunked(rng, monkeypatch):
+    """The lax.map big-grid path must reproduce the single-shot conv exactly
+    (same weights, same halo semantics), including non-multiple-of-chunk
+    block counts and cross-chunk neighbors."""
+    n, ch, co = 400, 4, 6
+    coords = rand_cloud(rng, n, 48)
+    feats = rng.randn(n, ch).astype(np.float32)
+    w = (rng.randn(3, 3, 3, ch, co) * 0.2).astype(np.float32)
+    b = rng.randn(co).astype(np.float32)
+    bg = B.blockify(
+        jnp.asarray(coords), jnp.asarray(feats), jnp.ones((n,), bool),
+        200, stride=1, res=48, num_batches=1,
+    )
+    nbrs = B.neighbor_rows(bg)
+    ref = B.conv3(bg, nbrs, jnp.asarray(w), jnp.asarray(b))
+    monkeypatch.setattr(B, "CONV3_CHUNK", 32)  # 200 blocks -> 7 chunks
+    out = B.conv3(bg, nbrs, jnp.asarray(w), jnp.asarray(b))
+    np.testing.assert_allclose(
+        np.asarray(out.feats), np.asarray(ref.feats), rtol=1e-5, atol=1e-5
+    )
+    np.testing.assert_array_equal(np.asarray(out.mask), np.asarray(ref.mask))
+
+
+def test_conv_up_emits_only_occupied_child_blocks(rng):
+    """Gen-up output block count must equal the true occupied child-block
+    count (not 8x parents): one voxel -> 8 child voxels in ONE child block."""
+    coords = np.array([[0, 4, 4, 4]], dtype=np.int32)  # stride-2 voxel
+    bg = B.blockify(
+        jnp.asarray(coords), jnp.ones((1, 3), jnp.float32),
+        jnp.ones((1,), bool), 8, stride=2, res=8, num_batches=1,
+    )
+    w = np.ones((8, 3, 2), dtype=np.float32)
+    out = B.conv_up_generative(bg, jnp.asarray(w), None, 16)
+    assert int(out.count) == 1  # children at coords 8,9 -> block (1,1,1) only
+    assert int(out.voxel_count()) == 8
+    assert int(out.dropped) == 0

@@ -21,7 +21,9 @@ def ctx(tmp_path_factory):
     train_cloud = sphere_cloud(32, density=1.2, seed=7)
     coords, valid = collate([train_cloud], capacity=2048)
     plan = BlockPlan(res=64, nb=(256, 128, 64, 64))
-    model = PCCModel(plan=plan, num_batches=1)
+    from tests._tiny import TINY_MODEL
+
+    model = PCCModel(config=TINY_MODEL, plan=plan, num_batches=1)
     params = jax.jit(
         lambda k1, k2: model.init(
             {"params": k1, "noise": k2}, coords, valid, True
@@ -49,7 +51,7 @@ def ctx(tmp_path_factory):
 
     out = tmp_path_factory.mktemp("codec")
     coder = Coder(
-        params, str(out / "frame"), res=64,
+        params, str(out / "frame"), res=64, model_config=TINY_MODEL,
         input_granularity=4096, prune_granularity=512,
     )
     return dict(

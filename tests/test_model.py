@@ -16,10 +16,12 @@ from pcgcv2_tpu.train.loss import cls_metrics, rd_loss
 def setup():
     """One compile set shared by every test in this module (CPU compiles of
     the full model take ~30-70s each)."""
+    from tests._tiny import TINY_MODEL
+
     clouds = [sphere_cloud(40, density=1.5, seed=s) for s in (0, 1)]
     coords, valid = collate(clouds, capacity=8192)
     plan = BlockPlan(res=64, nb=(512, 256, 128, 64))
-    model = PCCModel(config=ModelConfig(), plan=plan, num_batches=2)
+    model = PCCModel(config=TINY_MODEL, plan=plan, num_batches=2)
     params = jax.jit(
         lambda k1, k2: model.init(
             {"params": k1, "noise": k2}, coords, valid, True

@@ -53,7 +53,9 @@ def test_dp_step_runs_and_matches_single_device():
     coords, counts = jnp.asarray(coords), jnp.asarray(counts)
 
     plan = BlockPlan(res=16, nb=(32, 16, 16, 16))
-    model = PCCModel(plan=plan, num_batches=local_batch)
+    from tests._tiny import TINY_MODEL
+
+    model = PCCModel(config=TINY_MODEL, plan=plan, num_batches=local_batch)
     rows0, valid0 = jax.jit(collate_on_device)(coords[:1], counts[:1])
     params = jax.jit(
         lambda a, b: model.init(
@@ -66,8 +68,8 @@ def test_dp_step_runs_and_matches_single_device():
     opt_state.hyperparams["lr"] = 1e-3
 
     step = make_dp_train_step(model, tx, mesh, alpha=1.0, beta=1.0)
-    p2, o2, loss = step(params, opt_state, coords, counts,
-                        jax.random.PRNGKey(7))
+    rng = jax.random.PRNGKey(7)
+    p2, o2, loss = step(params, opt_state, coords, counts, rng)
     assert np.isfinite(float(loss))
     # params actually moved
     delta = jax.tree.reduce(
@@ -75,3 +77,44 @@ def test_dp_step_runs_and_matches_single_device():
         jax.tree.map(lambda a, b: float(jnp.sum(jnp.abs(a - b))), params, p2),
     )
     assert delta > 0
+
+    # single-device replica of the same DP semantics: per-shard grads with
+    # the same fold_in(rng, device_index) noise keys, hand-averaged, then one
+    # tx.update — must match the shard_map/pmean result exactly.
+    from pcgcv2_tpu.parallel.train import collate_on_device as cod
+    from pcgcv2_tpu.train.loss import rd_loss
+
+    @jax.jit
+    def shard_loss_and_grads(p, c, n, r):
+        rows, valid = cod(c, n)
+
+        def loss_fn(pp):
+            out = model.apply(pp, rows, valid, True, rngs={"noise": r})
+            return rd_loss(out, alpha=1.0, beta=1.0, normalize="train")["loss"]
+
+        return jax.value_and_grad(loss_fn)(p)
+
+    losses, grads_per_dev = [], []
+    for i in range(n_dev):
+        sl = slice(i * local_batch, (i + 1) * local_batch)
+        li, gi = shard_loss_and_grads(
+            params, coords[sl], counts[sl], jax.random.fold_in(rng, i)
+        )
+        losses.append(li)
+        grads_per_dev.append(gi)
+    grads = jax.tree.map(
+        lambda *gs: sum(gs) / n_dev, *grads_per_dev
+    )
+    updates, o_ref = tx.update(grads, opt_state, params)
+    p_ref = optax.apply_updates(params, updates)
+
+    np.testing.assert_allclose(
+        float(loss), float(np.mean([float(l) for l in losses])),
+        rtol=1e-5,
+    )
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-6
+        ),
+        p2, p_ref,
+    )

@@ -17,8 +17,10 @@ def trainer_ctx(tmp_path_factory):
     td = tmp_path_factory.mktemp("trainer")
     cfg = TrainConfig(batch_size=2, check_time=60.0, lr=1e-3)
     plan = BlockPlan(res=32, nb=(128, 64, 64, 64))
+    from tests._tiny import TINY_MODEL
+
     tr = Trainer(
-        cfg, plan, capacity=2048,
+        cfg, plan, capacity=2048, model_config=TINY_MODEL,
         logdir=str(td / "logs"), ckptdir=str(td / "ckpts"),
     )
     batches = [
@@ -60,8 +62,10 @@ def test_full_state_resume(trainer_ctx):
     td, cfg, plan = trainer_ctx["td"], trainer_ctx["cfg"], trainer_ctx["plan"]
     path = tr.save_state()
 
+    from tests._tiny import TINY_MODEL
+
     tr2 = Trainer(
-        cfg, plan, capacity=2048,
+        cfg, plan, capacity=2048, model_config=TINY_MODEL,
         logdir=str(td / "logs2"), ckptdir=str(td / "ckpts2"),
     )
     from pcgcv2_tpu.data.voxelize import collate
