@@ -51,6 +51,10 @@ def main() -> None:
     _ensure_backend()
     import jax
 
+    from pcgcv2_tpu.ops import blocks as _B
+
+    _B.set_compute_dtype("bfloat16")  # halve conv HBM traffic (f32 accum)
+
     from pcgcv2_tpu.codec.coder import Coder
     from pcgcv2_tpu.config import BlockPlan
     from pcgcv2_tpu.data.synthetic import torus_cloud

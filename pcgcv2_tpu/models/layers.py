@@ -58,9 +58,11 @@ class BConv1(nn.Module):
         b = self.param(
             "bias", nn.initializers.zeros, (self.features,), jnp.float32
         )
+        cd = B.COMPUTE_DTYPE
         out = (
             jnp.dot(
-                bg.feats.reshape(-1, bg.channels), w[0],
+                bg.feats.reshape(-1, bg.channels).astype(cd),
+                w[0].astype(cd),
                 preferred_element_type=jnp.float32,
             ).reshape(bg.nb_cap, B.VOL, self.features)
             + b

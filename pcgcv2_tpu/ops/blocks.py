@@ -47,6 +47,19 @@ from flax import struct
 BS = 8              # block side
 VOL = BS ** 3       # 512 slots per block
 
+# Dtype for conv/matmul inputs (halos, windows).  Storage (BlockGrid.feats)
+# stays float32; accumulation is always float32 (preferred_element_type).
+# bfloat16 halves the HBM traffic of the halo-dominated 3^3 convs — the
+# production codec/training scripts opt in; tests keep float32 so oracle
+# comparisons stay exact.  Read at TRACE time: set before building a jit.
+COMPUTE_DTYPE = jnp.float32
+
+
+def set_compute_dtype(dtype) -> None:
+    """Set the global conv compute dtype ('float32' or 'bfloat16')."""
+    global COMPUTE_DTYPE
+    COMPUTE_DTYPE = jnp.dtype(dtype)
+
 # Dense lookup-table budget: B * G^3 int32 cells.  2^27 cells = 512 MB of
 # int32 + 128 MB of bool occupancy — the practical single-chip ceiling.
 # Unscaled vox12 (res 4096 -> G = 512 -> 134M cells/batch-item) fits for
@@ -426,7 +439,7 @@ def conv3(
     nbrs: jax.Array,
     weight: jax.Array,
     bias: Optional[jax.Array] = None,
-    compute_dtype=jnp.float32,
+    compute_dtype=None,
 ) -> BlockGrid:
     """3^3 stride-1 sparse convolution: halo assembly + dense MXU conv.
 
@@ -446,6 +459,8 @@ def conv3(
     Each chunk body is jax.checkpoint'ed so the backward pass re-assembles
     halos per chunk instead of saving them all.
     """
+    if compute_dtype is None:
+        compute_dtype = COMPUTE_DTYPE
     ch = bg.channels
     if ch < 16:
         bg = bg.replace(
@@ -514,7 +529,7 @@ def conv_down(
     weight: jax.Array,
     bias: Optional[jax.Array],
     nb_cap_out: int,
-    compute_dtype=jnp.float32,
+    compute_dtype=None,
 ) -> BlockGrid:
     """Strided down-convolution (kernel=2, stride=2): stride s -> 2s.
 
@@ -525,6 +540,8 @@ def conv_down(
     (a block-level gather).  Replaces ME.MinkowskiConvolution(kernel_size=2,
     stride=2) (ref autoencoder.py:78).
     """
+    if compute_dtype is None:
+        compute_dtype = COMPUTE_DTYPE
     nb, ch = bg.nb_cap, bg.channels
     cout = weight.shape[-1]
     check_table_size(bg.res // 2, bg.num_batches)
@@ -602,7 +619,7 @@ def conv_up_generative(
     weight: jax.Array,
     bias: Optional[jax.Array],
     nb_cap_out: int,
-    compute_dtype=jnp.float32,
+    compute_dtype=None,
 ) -> BlockGrid:
     """Generative transposed conv (kernel=2, stride=2): stride 2s -> s.
 
@@ -613,6 +630,8 @@ def conv_up_generative(
     expands into 8 child blocks, written with a single block-row scatter
     (unique rows — TPU-vectorizable), never per-voxel indexing.
     """
+    if compute_dtype is None:
+        compute_dtype = COMPUTE_DTYPE
     nb, ch = bg.nb_cap, bg.channels
     cout = weight.shape[-1]
     res_out = bg.res * 2

@@ -36,6 +36,10 @@ def main(argv=None):
     args = parse_args(argv)
     import numpy as np
 
+    from pcgcv2_tpu.ops import blocks as _B
+
+    _B.set_compute_dtype("bfloat16")  # halve conv HBM traffic (f32 accum)
+
     from pcgcv2_tpu.codec.coder import Coder
     from pcgcv2_tpu.data.synthetic import random_surface_cloud, torus_cloud
     from pcgcv2_tpu.eval.metrics import pc_metrics

@@ -44,6 +44,9 @@ def main(argv=None):
     from pcgcv2_tpu.config import BlockPlan, TrainConfig
     from pcgcv2_tpu.data.synthetic import random_surface_cloud
     from pcgcv2_tpu.train.trainer import Trainer
+    from pcgcv2_tpu.ops import blocks as _B
+
+    _B.set_compute_dtype("bfloat16")  # halve conv HBM traffic (f32 accum)
 
     print("generating synthetic training surfaces...", flush=True)
     t0 = time.time()

@@ -13,11 +13,11 @@ import os
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     flags += " --xla_force_host_platform_device_count=8"
-# Compile-time over run-time for tests: full-model CPU compiles drop ~7x
-# (98s -> 14s measured for PCCModel.init) at optimization level 0, and test
-# shapes are tiny so the slower generated code is irrelevant.
-if "xla_backend_optimization_level" not in flags:
-    flags += " --xla_backend_optimization_level=0"
+# NOTE: do NOT set --xla_backend_optimization_level=0 here.  It cuts CPU
+# compile time ~7x but lowers conv_general_dilated to scalar loops (~45 s
+# PER TRAINING STEP of even the tiny test model — measured); with the
+# machine-keyed persistent compilation cache below, full-opt compiles are
+# paid once and runtime stays ~1 s/step.
 os.environ["XLA_FLAGS"] = flags.strip()
 
 import jax  # noqa: E402
