@@ -63,9 +63,9 @@ class BConv1(nn.Module):
             jnp.dot(
                 bg.feats.reshape(-1, bg.channels).astype(cd),
                 w[0].astype(cd),
-                preferred_element_type=jnp.float32,
+                preferred_element_type=cd,
             ).reshape(bg.nb_cap, B.VOL, self.features)
-            + b
+            + b.astype(cd)
         ).astype(bg.feats.dtype)
         return bg.with_feats(out)
 

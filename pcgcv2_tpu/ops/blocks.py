@@ -350,87 +350,59 @@ def neighbor_rows(bg: BlockGrid) -> jax.Array:
     return jnp.where(in_rng, rows, bg.nb_cap - 1)
 
 
-def halo(bg: BlockGrid, nbrs: jax.Array, dtype=None) -> jax.Array:
-    """[nb_cap, 10, 10, 10, C] halo-padded blocks.
-
-    Separable halo exchange: pad x from the two x-neighbors, then pad y
-    using the *already x-padded* tensor of the two y-neighbors (their x
-    padding carries the xy-diagonal blocks), then z likewise — 6 gathers
-    total instead of 26 slab gathers, and diagonals come along for free.
-
-    TPU specifics, both load-bearing:
-    * the working layout folds (z, C) into one lane axis of width 8*C, so
-      every intermediate is rank-4 with a >=128-wide minor dim — XLA's
-      (8, 128) tiling pads ragged 5-D halo shapes by up to 13x (OOM at
-      vox10 scale) otherwise;
-    * each neighbor gather is wrapped in `optimization_barrier` so XLA
-      materializes the full 8*C-per-slab row gather instead of fusing the
-      downstream slice into it and degrading to a small-row gather (~3x
-      slower, measured).
-    """
-    nb = bg.nb_cap
-    ch = bg.channels
-    blk = bg.feats
-    if dtype is not None:
-        blk = blk.astype(dtype)
-    blk = blk.reshape(nb, BS, BS, BS * ch)  # [nb, x, y, z*C]
-    bar = jax.lax.optimization_barrier
-
-    xm = bar(blk[nbrs[:, 0, 1, 1]])[:, BS - 1:BS]
-    xp = bar(blk[nbrs[:, 2, 1, 1]])[:, 0:1]
-    hx = jnp.concatenate([xm, blk, xp], axis=1)          # [nb,10,8,8C]
-    ym = bar(hx[nbrs[:, 1, 0, 1]])[:, :, BS - 1:BS]
-    yp = bar(hx[nbrs[:, 1, 2, 1]])[:, :, 0:1]
-    hxy = jnp.concatenate([ym, hx, yp], axis=2)          # [nb,10,10,8C]
-    zm = bar(hxy[nbrs[:, 1, 1, 0]])[..., (BS - 1) * ch:]
-    zp = bar(hxy[nbrs[:, 1, 1, 2]])[..., :ch]
-    h = jnp.concatenate([zm, hxy, zp], axis=3)           # [nb,10,10,10C]
-    return h.reshape(nb, BS + 2, BS + 2, BS + 2, ch)
-
-
-# Blocks per lax.map chunk in the large-grid conv3 path.  4096 blocks keep
-# the MXU batch large while bounding the per-chunk halo to
-# 4096 * 10^3 * C floats (~1 GB at C=64 f32) regardless of grid size.
-CONV3_CHUNK = 4096
-
-_SL = {0: (BS - 1, BS), 1: (0, BS), 2: (0, 1)}  # neighbor-offset -> slab slice
-
-
 def _halo_chunk(blk: jax.Array, nbrs: jax.Array, ch: int) -> jax.Array:
-    """Assemble [m, 10, 10, 10, C] halos for a chunk of blocks by gathering
-    27 slabs per block from the full folded block tensor.
+    """Assemble [m, 10, 10, 10, C] halos for a set of blocks.
 
     blk: [nb, BS, BS, BS*ch] (folded z*C lanes); nbrs: [m, 3, 3, 3] rows.
-    Unlike `halo`, this never needs the x-padded tensor of *other* rows, so
-    it works on an arbitrary row subset — the big-grid chunking primitive.
+    Works on an arbitrary row subset (no cross-row dependencies), so it is
+    both the big-grid chunking primitive and the direct small-grid path.
+
+    Gather structure is chosen for TPU gather throughput: ONE gather of
+    whole z-lines (contiguous 8C-element rows) covers 8/10 of the halo;
+    the two z-end planes are thin C-element gathers.  The naive 27-slab
+    alternative issues y/z-face gathers whose source rows are 8..64-way
+    strided — measured ~13x off memory-bound at vox10 scale.
     """
-    parts_x = []
-    for dx in (0, 1, 2):
-        x0, x1 = _SL[dx]
-        parts_y = []
-        for dy in (0, 1, 2):
-            y0, y1 = _SL[dy]
-            parts_z = []
-            for dz in (0, 1, 2):
-                z0, z1 = _SL[dz]
-                rows = nbrs[:, dx, dy, dz]
-                piece = blk[rows][:, x0:x1, y0:y1, z0 * ch:z1 * ch]
-                parts_z.append(piece)
-            parts_y.append(jnp.concatenate(parts_z, axis=3))
-        parts_x.append(jnp.concatenate(parts_y, axis=2))
-    h = jnp.concatenate(parts_x, axis=1)  # [m, 10, 10, 10*ch]
-    return h.reshape(h.shape[0], BS + 2, BS + 2, BS + 2, ch)
+    m = nbrs.shape[0]
+    d_x = jnp.asarray(_H_D)[:, None]            # [10, 1] neighbor dx
+    l_x = jnp.asarray(_H_L)[:, None]            # [10, 1] in-block x
+    d_y = jnp.asarray(_H_D)[None, :]            # [1, 10]
+    l_y = jnp.asarray(_H_L)[None, :]
+
+    # neighbor block row for each halo (x, y) column: [m, 10, 10]
+    rows_c = nbrs[:, d_x, d_y, 1]
+    # whole z-lines of the (dz=center) neighbors: rows of 8C contiguous
+    lines = blk.reshape(-1, BS * ch)            # [nb*64, 8C]
+    idx_c = rows_c * (BS * BS) + l_x[None] * BS + l_y[None]
+    center = lines[idx_c]                       # [m, 10, 10, 8C]
+
+    # z-end planes from the dz=0 / dz=2 neighbors: single-C rows
+    cells = blk.reshape(-1, ch)                 # [nb*512, C]
+    rows_zm = nbrs[:, d_x, d_y, 0]
+    idx_zm = (rows_zm * (BS * BS) + l_x[None] * BS + l_y[None]) * BS + (BS - 1)
+    zm = cells[idx_zm]                          # [m, 10, 10, C]
+    rows_zp = nbrs[:, d_x, d_y, 2]
+    idx_zp = (rows_zp * (BS * BS) + l_x[None] * BS + l_y[None]) * BS + 0
+    zp = cells[idx_zp]                          # [m, 10, 10, C]
+
+    h = jnp.concatenate([zm, center, zp], axis=-1)  # [m, 10, 10, 10C]
+    return h.reshape(m, BS + 2, BS + 2, BS + 2, ch)
 
 
 def _conv3_dense(h: jax.Array, weight, bias, compute_dtype):
+    # preferred_element_type must MATCH the input dtype: a widening conv
+    # (bf16 -> f32) has no valid transpose rule (the f32 cotangent meets the
+    # bf16 weight and lax.conv rejects mixed dtypes).  MXU accumulation is
+    # f32 internally either way; the cast to storage dtype happens in the
+    # caller.
     out = jax.lax.conv_general_dilated(
         h, weight.astype(compute_dtype),
         window_strides=(1, 1, 1), padding="VALID",
         dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=compute_dtype,
     )
     if bias is not None:
-        out = out + bias
+        out = out + bias.astype(compute_dtype)
     return out
 
 
@@ -472,7 +444,8 @@ def conv3(
         ch = 16
     nb = bg.nb_cap
     if nb <= 2 * CONV3_CHUNK:
-        h = halo(bg, nbrs, dtype=compute_dtype)
+        blk = bg.feats.astype(compute_dtype).reshape(nb, BS, BS, BS * ch)
+        h = _halo_chunk(blk, nbrs, ch)
         out = _conv3_dense(h, weight, bias, compute_dtype)
         out = out.reshape(nb, VOL, -1)
     else:
@@ -557,10 +530,10 @@ def conv_down(
     y = jax.lax.conv_general_dilated(
         x, w, window_strides=(2, 2, 2), padding="VALID",
         dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=compute_dtype,
     )  # [nb, 4, 4, 4, cout]
     if bias is not None:
-        y = y + bias
+        y = y + bias.astype(compute_dtype)
     m = bg.mask.reshape(nb, 4, 2, 4, 2, 4, 2)
     m_down = m.any(axis=(2, 4, 6))  # [nb, 4, 4, 4]
     y = jnp.where(m_down[..., None], y, 0).astype(bg.feats.dtype)
@@ -654,10 +627,10 @@ def conv_up_generative(
     y_big = jax.lax.conv_transpose(
         x, w, strides=(2, 2, 2), padding="VALID",
         dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=compute_dtype,
     )  # [nb, 16, 16, 16, cout]
     if bias is not None:
-        y_big = y_big + bias
+        y_big = y_big + bias.astype(compute_dtype)
     # child-voxel mask: each parent voxel's 8 children are occupied
     m = bg.mask.reshape(nb, BS, 1, BS, 1, BS, 1)
     m_big = jnp.broadcast_to(
