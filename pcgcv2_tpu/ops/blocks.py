@@ -350,6 +350,17 @@ def neighbor_rows(bg: BlockGrid) -> jax.Array:
     return jnp.where(in_rng, rows, bg.nb_cap - 1)
 
 
+# Blocks per lax.map chunk in the large-grid conv3 path.  4096 blocks keep
+# the MXU batch large while bounding the per-chunk halo to
+# 4096 * 10^3 * C floats (~1 GB at C=64 f32) regardless of grid size.
+CONV3_CHUNK = 4096
+
+# Halo-axis maps: halo coordinate h in [0, 10) -> (neighbor offset d in
+# {0,1,2}, in-neighbor coordinate l in [0, 8)).
+_H_D = np.array([0] + [1] * BS + [2], dtype=np.int32)          # [10]
+_H_L = np.array([BS - 1] + list(range(BS)) + [0], dtype=np.int32)
+
+
 def _halo_chunk(blk: jax.Array, nbrs: jax.Array, ch: int) -> jax.Array:
     """Assemble [m, 10, 10, 10, C] halos for a set of blocks.
 
@@ -376,14 +387,16 @@ def _halo_chunk(blk: jax.Array, nbrs: jax.Array, ch: int) -> jax.Array:
     idx_c = rows_c * (BS * BS) + l_x[None] * BS + l_y[None]
     center = lines[idx_c]                       # [m, 10, 10, 8C]
 
-    # z-end planes from the dz=0 / dz=2 neighbors: single-C rows
-    cells = blk.reshape(-1, ch)                 # [nb*512, C]
+    # z-end planes from the dz=0 / dz=2 neighbors: gather the line, slice
+    # the end lanes (static slice — fuses into the gather).  NEVER build a
+    # [nb*512, C] cell view as gather source: its C-wide minor dim gets
+    # lane-padded 8x when materialized (a 10.5 GB temp at vox10 decode).
     rows_zm = nbrs[:, d_x, d_y, 0]
-    idx_zm = (rows_zm * (BS * BS) + l_x[None] * BS + l_y[None]) * BS + (BS - 1)
-    zm = cells[idx_zm]                          # [m, 10, 10, C]
+    idx_zm = rows_zm * (BS * BS) + l_x[None] * BS + l_y[None]
+    zm = lines[idx_zm][..., (BS - 1) * ch:]     # [m, 10, 10, C]
     rows_zp = nbrs[:, d_x, d_y, 2]
-    idx_zp = (rows_zp * (BS * BS) + l_x[None] * BS + l_y[None]) * BS + 0
-    zp = cells[idx_zp]                          # [m, 10, 10, C]
+    idx_zp = rows_zp * (BS * BS) + l_x[None] * BS + l_y[None]
+    zp = lines[idx_zp][..., :ch]                # [m, 10, 10, C]
 
     h = jnp.concatenate([zm, center, zp], axis=-1)  # [m, 10, 10, 10C]
     return h.reshape(m, BS + 2, BS + 2, BS + 2, ch)
