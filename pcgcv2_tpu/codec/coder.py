@@ -200,6 +200,11 @@ class Coder:
 
         @jax.jit
         def fn(params, rows, feats, valid, nums):
+            # Decoder grids are the HBM peak (pre-prune candidate grids at
+            # full res); storing their features in the compute dtype halves
+            # that peak (17.6 GB -> fits, measured at vox10).  Occupancy
+            # decisions (top-k, masks) are bool/int and unaffected.
+            feats = feats.astype(B.COMPUTE_DTYPE)
             y = B.blockify(
                 rows, feats, valid, nb3, stride=8, res=res_y, num_batches=1
             )
