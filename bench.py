@@ -51,9 +51,12 @@ def main() -> None:
     _ensure_backend()
     import jax
 
+    import os
+
     from pcgcv2_tpu.ops import blocks as _B
 
-    _B.set_compute_dtype("bfloat16")  # halve conv HBM traffic (f32 accum)
+    # halve conv HBM traffic (f32 accum); BENCH_DTYPE=float32 to A/B test
+    _B.set_compute_dtype(os.environ.get("BENCH_DTYPE", "bfloat16"))
 
     from pcgcv2_tpu.codec.coder import Coder
     from pcgcv2_tpu.config import BlockPlan

@@ -355,51 +355,41 @@ def neighbor_rows(bg: BlockGrid) -> jax.Array:
 # 4096 * 10^3 * C floats (~1 GB at C=64 f32) regardless of grid size.
 CONV3_CHUNK = 4096
 
-# Halo-axis maps: halo coordinate h in [0, 10) -> (neighbor offset d in
-# {0,1,2}, in-neighbor coordinate l in [0, 8)).
-_H_D = np.array([0] + [1] * BS + [2], dtype=np.int32)          # [10]
-_H_L = np.array([BS - 1] + list(range(BS)) + [0], dtype=np.int32)
+_SL = {0: (BS - 1, BS), 1: (0, BS), 2: (0, 1)}  # neighbor-offset -> slab slice
 
 
 def _halo_chunk(blk: jax.Array, nbrs: jax.Array, ch: int) -> jax.Array:
-    """Assemble [m, 10, 10, 10, C] halos for a set of blocks.
+    """Assemble [m, 10, 10, 10, C] halos for a set of blocks by gathering
+    27 slabs per block from the full folded block tensor.
 
     blk: [nb, BS, BS, BS*ch] (folded z*C lanes); nbrs: [m, 3, 3, 3] rows.
-    Works on an arbitrary row subset (no cross-row dependencies), so it is
+    No cross-row dependencies, so it works on an arbitrary row subset —
     both the big-grid chunking primitive and the direct small-grid path.
 
-    Gather structure is chosen for TPU gather throughput: ONE gather of
-    whole z-lines (contiguous 8C-element rows) covers 8/10 of the halo;
-    the two z-end planes are thin C-element gathers.  The naive 27-slab
-    alternative issues y/z-face gathers whose source rows are 8..64-way
-    strided — measured ~13x off memory-bound at vox10 scale.
+    NOTE on alternatives (both measured SLOWER end-to-end at vox10 on v5e):
+    * a separable 6-copy assembly with optimization_barrier'd full-block
+      gathers (~13x memory-bound amplification from the materialized
+      copies);
+    * a single z-line gather ([m,10,10]-indexed rows of 8C) + thin z-end
+      gathers — the 2-D-batched gather lowers worse than these 27
+      fused slice-gathers (bench 14.2 s vs 11.1 s per frame).
     """
-    m = nbrs.shape[0]
-    d_x = jnp.asarray(_H_D)[:, None]            # [10, 1] neighbor dx
-    l_x = jnp.asarray(_H_L)[:, None]            # [10, 1] in-block x
-    d_y = jnp.asarray(_H_D)[None, :]            # [1, 10]
-    l_y = jnp.asarray(_H_L)[None, :]
-
-    # neighbor block row for each halo (x, y) column: [m, 10, 10]
-    rows_c = nbrs[:, d_x, d_y, 1]
-    # whole z-lines of the (dz=center) neighbors: rows of 8C contiguous
-    lines = blk.reshape(-1, BS * ch)            # [nb*64, 8C]
-    idx_c = rows_c * (BS * BS) + l_x[None] * BS + l_y[None]
-    center = lines[idx_c]                       # [m, 10, 10, 8C]
-
-    # z-end planes from the dz=0 / dz=2 neighbors: gather the line, slice
-    # the end lanes (static slice — fuses into the gather).  NEVER build a
-    # [nb*512, C] cell view as gather source: its C-wide minor dim gets
-    # lane-padded 8x when materialized (a 10.5 GB temp at vox10 decode).
-    rows_zm = nbrs[:, d_x, d_y, 0]
-    idx_zm = rows_zm * (BS * BS) + l_x[None] * BS + l_y[None]
-    zm = lines[idx_zm][..., (BS - 1) * ch:]     # [m, 10, 10, C]
-    rows_zp = nbrs[:, d_x, d_y, 2]
-    idx_zp = rows_zp * (BS * BS) + l_x[None] * BS + l_y[None]
-    zp = lines[idx_zp][..., :ch]                # [m, 10, 10, C]
-
-    h = jnp.concatenate([zm, center, zp], axis=-1)  # [m, 10, 10, 10C]
-    return h.reshape(m, BS + 2, BS + 2, BS + 2, ch)
+    parts_x = []
+    for dx in (0, 1, 2):
+        x0, x1 = _SL[dx]
+        parts_y = []
+        for dy in (0, 1, 2):
+            y0, y1 = _SL[dy]
+            parts_z = []
+            for dz in (0, 1, 2):
+                z0, z1 = _SL[dz]
+                rows = nbrs[:, dx, dy, dz]
+                piece = blk[rows][:, x0:x1, y0:y1, z0 * ch:z1 * ch]
+                parts_z.append(piece)
+            parts_y.append(jnp.concatenate(parts_z, axis=3))
+        parts_x.append(jnp.concatenate(parts_y, axis=2))
+    h = jnp.concatenate(parts_x, axis=1)  # [m, 10, 10, 10*ch]
+    return h.reshape(h.shape[0], BS + 2, BS + 2, BS + 2, ch)
 
 
 def _conv3_dense(h: jax.Array, weight, bias, compute_dtype):
