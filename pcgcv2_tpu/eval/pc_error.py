@@ -36,7 +36,15 @@ def find_pc_error() -> Optional[str]:
         return which
     ref = "/root/reference/pc_error_d"
     if os.path.exists(ref):
-        return ref
+        if os.access(ref, os.X_OK):
+            return ref
+        # read-only checkouts ship the ELF without the exec bit: stage an
+        # executable copy once
+        staged = "/tmp/pcgc_pc_error_d"
+        if not os.path.exists(staged):
+            shutil.copy(ref, staged)
+            os.chmod(staged, 0o755)
+        return staged
     return None
 
 

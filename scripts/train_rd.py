@@ -33,7 +33,7 @@ def parse_args(argv=None):
     p.add_argument("--batch_capacity", type=int, default=524288)
     p.add_argument("--lr", type=float, default=8e-4)
     p.add_argument("--points", nargs="+", default=["r1:0.5", "r2:2", "r3:8"],
-                   help="rate points as name:alpha (beta fixed at 1)")
+                   help="rate points as name:alpha[:init_ckpt] (beta=1)")
     p.add_argument("--ckptroot", default="./ckpts")
     p.add_argument("--seed", type=int, default=0)
     return p.parse_args(argv)
@@ -68,7 +68,9 @@ def main(argv=None):
     print("plan:", plan, flush=True)
 
     for point in args.points:
-        name, alpha_s = point.split(":")
+        parts = point.split(":")
+        name, alpha_s = parts[0], parts[1]
+        init_ckpt = parts[2] if len(parts) > 2 else ""
         alpha = float(alpha_s)
         cfg = TrainConfig(
             alpha=alpha, beta=1.0, lr=args.lr,
@@ -79,7 +81,7 @@ def main(argv=None):
         tr = Trainer(
             cfg, plan, args.batch_capacity,
             logdir=os.path.join("./logs", name), ckptdir=ckptdir,
-            seed=args.seed,
+            init_ckpt=init_ckpt, seed=args.seed,
         )
         tr.logger.info(f"=== rate point {name}: alpha={alpha} beta=1 ===")
         import numpy as np

@@ -30,7 +30,7 @@ def ctx(tmp_path_factory):
         )
     )(jax.random.PRNGKey(0), jax.random.PRNGKey(1))
 
-    tx = optax.adam(8e-4)
+    tx = optax.adam(2e-3)
     opt = tx.init(params)
 
     @jax.jit
@@ -45,7 +45,9 @@ def ctx(tmp_path_factory):
 
     trained = params
     rng = jax.random.PRNGKey(9)
-    for _ in range(30):
+    # enough overfit steps for the narrow TINY_MODEL to reconstruct (the
+    # full-width model needed ~30; the tiny one learns slower)
+    for _ in range(100):
         rng, sub = jax.random.split(rng)
         trained, opt, _ = step(trained, opt, sub)
 
