@@ -30,26 +30,29 @@ def ctx(tmp_path_factory):
         )
     )(jax.random.PRNGKey(0), jax.random.PRNGKey(1))
 
-    tx = optax.adam(2e-3)
-    opt = tx.init(params)
+    def overfit(n_steps):
+        """Overfit params on train_cloud (used only by the slow
+        reconstruction test; CPU steps are expensive)."""
+        tx = optax.adam(2e-3)
+        opt = tx.init(params)
 
-    @jax.jit
-    def step(p, opt, rng):
-        def loss_fn(p):
-            out = model.apply(p, coords, valid, True, rngs={"noise": rng})
-            return rd_loss(out, alpha=4.0, beta=1.0)["loss"]
+        @jax.jit
+        def step(p, opt, rng):
+            def loss_fn(p):
+                out = model.apply(
+                    p, coords, valid, True, rngs={"noise": rng}
+                )
+                return rd_loss(out, alpha=4.0, beta=1.0)["loss"]
 
-        loss, g = jax.value_and_grad(loss_fn)(p)
-        up, opt = tx.update(g, opt)
-        return optax.apply_updates(p, up), opt, loss
+            loss, g = jax.value_and_grad(loss_fn)(p)
+            up, opt = tx.update(g, opt)
+            return optax.apply_updates(p, up), opt, loss
 
-    trained = params
-    rng = jax.random.PRNGKey(9)
-    # enough overfit steps for the narrow TINY_MODEL to reconstruct (the
-    # full-width model needed ~30; the tiny one learns slower)
-    for _ in range(100):
-        rng, sub = jax.random.split(rng)
-        trained, opt, _ = step(trained, opt, sub)
+        trained, rng = params, jax.random.PRNGKey(9)
+        for _ in range(n_steps):
+            rng, sub = jax.random.split(rng)
+            trained, opt, _ = step(trained, opt, sub)
+        return trained
 
     out = tmp_path_factory.mktemp("codec")
     coder = Coder(
@@ -57,7 +60,7 @@ def ctx(tmp_path_factory):
         input_granularity=4096, prune_granularity=512,
     )
     return dict(
-        coder=coder, params=params, trained=trained,
+        coder=coder, params=params, overfit=overfit,
         train_cloud=train_cloud,
     )
 
@@ -131,13 +134,15 @@ def test_coordinate_codec_roundtrips_any_order(ctx):
         )
 
 
+@pytest.mark.slow
 def test_trained_model_reconstructs(ctx):
     """After brief training on one cloud, the codec round-trip must
-    reconstruct most of that cloud's voxels (encode->bits->decode)."""
+    reconstruct most of that cloud's voxels (encode->bits->decode).
+    Slow: ~100 CPU training steps of the tiny model."""
     coder, cloud = ctx["coder"], ctx["train_cloud"]
     old = coder.params
     try:
-        coder.params = ctx["trained"]
+        coder.params = ctx["overfit"](100)
         coder.encode(cloud, postfix="_tr")
         out = coder.decode(postfix="_tr")
     finally:
