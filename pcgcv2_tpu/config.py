@@ -128,7 +128,16 @@ class BlockPlan:
                 max(round_to, _round_up(int(nb0 * r), round_to)))
             for s, r in enumerate(ratios)
         )
-        return cls(res=res, nb=nb, up_factors=(6, 5, 4))
+        # Tight decode-side capacities: surfaces spawn ~4 occupied child
+        # blocks per parent (8 is the static worst case) and post-prune
+        # block counts track the encoder's per-scale counts, so candidate
+        # factors (6,4,3) and post-prune caps of 1.5x the encoder caps fit
+        # vox12-at-sf0.375 decode in one v5e's HBM.  Runtime overflow
+        # detection raises rather than corrupting if content is denser.
+        dec_nb = tuple(
+            _round_up(int(1.5 * nb[i]) + 1, round_to) for i in (2, 1, 0)
+        )
+        return cls(res=res, nb=nb, dec_nb=dec_nb, up_factors=(6, 4, 3))
 
     @classmethod
     def for_training(
