@@ -135,9 +135,9 @@ class BlockPlan:
         # vox12-at-sf0.375 decode in one v5e's HBM.  Runtime overflow
         # detection raises rather than corrupting if content is denser.
         dec_nb = tuple(
-            _round_up(int(1.5 * nb[i]) + 1, round_to) for i in (2, 1, 0)
+            _round_up(int(1.3 * nb[i]) + 1, round_to) for i in (2, 1, 0)
         )
-        return cls(res=res, nb=nb, dec_nb=dec_nb, up_factors=(6, 4, 3))
+        return cls(res=res, nb=nb, dec_nb=dec_nb, up_factors=(5, 4, 3))
 
     @classmethod
     def for_training(

@@ -74,6 +74,8 @@ def main(argv=None):
                d1_psnr=round(m["mseF,PSNR (p2point)"], 2))
     print(json.dumps(row), flush=True)
     results.append(row)
+    with open("results/scale_validation.json", "w") as f:
+        json.dump(results, f, indent=1)
 
     # --- vox12 class: res 4096 content, sf=0.375 pre-scale -----------------
     # density chosen to land in the reference's vox12 size class
