@@ -53,6 +53,10 @@ def main() -> None:
 
     import os
 
+    from pcgcv2_tpu.cache import enable_persistent_cache
+
+    enable_persistent_cache(jax)
+
     from pcgcv2_tpu.ops import blocks as _B
 
     # halve conv HBM traffic (f32 accum); BENCH_DTYPE=float32 to A/B test

@@ -30,6 +30,11 @@ def parse_args(argv=None):
 
 def main(argv=None):
     args = parse_args(argv)
+    import jax
+
+    from pcgcv2_tpu.cache import enable_persistent_cache
+
+    enable_persistent_cache(jax)
     from pcgcv2_tpu.codec.coder import Coder
     from pcgcv2_tpu.data.io import load_coords, write_ply_ascii_geo
     from pcgcv2_tpu.data.voxelize import scale_coords

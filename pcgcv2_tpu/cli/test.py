@@ -150,6 +150,11 @@ def plot_rd(results, filedir, resultdir):
 
 def main(argv=None):
     args = parse_args(argv)
+    import jax
+
+    from pcgcv2_tpu.cache import enable_persistent_cache
+
+    enable_persistent_cache(jax)
     results = run_sweep(
         args.filedir, args.ckpts, args.outdir, args.resultdir,
         scaling_factor=args.scaling_factor, rho=args.rho, res=args.res,

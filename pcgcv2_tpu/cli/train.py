@@ -41,6 +41,11 @@ def parse_args(argv=None):
 
 def main(argv=None):
     args = parse_args(argv)
+    import jax
+
+    from pcgcv2_tpu.cache import enable_persistent_cache
+
+    enable_persistent_cache(jax)
     from pcgcv2_tpu.config import BlockPlan, TrainConfig
     from pcgcv2_tpu.data.dataset import PCDataset, iterate_batches
     from pcgcv2_tpu.train.trainer import Trainer

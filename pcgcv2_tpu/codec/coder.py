@@ -40,7 +40,6 @@ import numpy as np
 from pcgcv2_tpu.codec import gpcc, native, octree
 from pcgcv2_tpu.config import BlockPlan, ModelConfig
 from pcgcv2_tpu.data import io as pcio
-from pcgcv2_tpu.data.voxelize import collate
 from pcgcv2_tpu.models.entropy import EntropyBottleneck
 from pcgcv2_tpu.models.pcc import PCCModel
 from pcgcv2_tpu.ops import blocks as B
@@ -122,7 +121,7 @@ class CoordinateCoder:
         path = self.filename + postfix + "_C.bin"
         with open(path, "rb") as f:
             head = f.read(4)
-        if head == octree.MAGIC:
+        if head in (octree.MAGIC, octree.MAGIC2):
             with open(path, "rb") as f:
                 return octree.decode(f.read())
         ply = path + ".tmp.ply"
@@ -148,13 +147,27 @@ class Coder:
         input_granularity: int = 65536,
         prune_granularity: int = 16384,
         prefer_gpcc: bool = False,
+        up_factors=None,
+        dec_nb=None,
+        streamed_slabs: int = 0,
     ):
+        """up_factors / dec_nb override BlockPlan.for_cloud's decode-side
+        capacity heuristics (surface-density assumptions): content denser
+        than typical raises a capacity-overflow RuntimeError, and these
+        knobs let callers resize without editing the library.
+
+        streamed_slabs > 0 decodes the final stage in that many x-slabs
+        (bounded memory — whole-frame vox11+); 0 picks automatically
+        (streamed at res >= 2048, monolithic below)."""
         self.params = params
         self.filename = filename
         self.res = res
         self.model_config = model_config
         self.input_granularity = input_granularity
         self.prune_granularity = prune_granularity
+        self.up_factors = tuple(up_factors) if up_factors else None
+        self.dec_nb = tuple(dec_nb) if dec_nb else None
+        self.streamed_slabs = streamed_slabs
         self.coordinate_coder = CoordinateCoder(filename, prefer_gpcc)
         self.feature_coder = FeatureCoder(filename, self._pmf)
         self._models = {}
@@ -174,21 +187,76 @@ class Coder:
         return self._models[plan]
 
     @functools.lru_cache(maxsize=None)
-    def _encode_fn(self, plan: BlockPlan, ext_cap: int):
+    def _encode_fn(self, plan: BlockPlan, cap: int, y_cap: int):
+        """Packed-transfer analysis transform.
+
+        The TPU sits behind a high-latency tunnel here: every host->device
+        transfer pays a large fixed cost (measured ~0.75 s regardless of
+        size) and D2H runs ~20 MB/s, so the jit takes ONE packed int32
+        array ([cap+1, 3] xyz rows + a trailing metadata row holding the
+        row count) and returns ONE packed f32 array ([y_cap, 3+C]
+        bottleneck ds-coords + features, canonically sorted on device)
+        plus a 6-int metadata vector.  Input may contain duplicate rows
+        (identical all-ones payloads): blockify's slot scatter dedups
+        them; GT counts use the deduped voxel counts.
+        """
         model = self._model(plan)
+        res_y = max(1, plan.res // 8)
 
         @jax.jit
-        def fn(params, coords, valid):
-            y, nums, n_in = model.apply(
-                params, coords, valid, method=PCCModel.encode_fn
+        def fn(params, pack):
+            n = pack[cap, 0]
+            valid = jnp.arange(cap, dtype=jnp.int32) < n
+            rows = jnp.concatenate(
+                [jnp.zeros((cap, 1), jnp.int32), pack[:cap]], axis=1
             )
-            yc, yf, ny = B.extract(y, ext_cap)
-            return yc, yf, ny, jnp.concatenate(nums), n_in, y.dropped
+            y, nums, n_unique = model.apply(
+                params, rows, valid, method=PCCModel.encode_fn
+            )
+            yc, yf, ny = B.extract(y, y_cap)
+            ds = yc[:, 1:] // 8
+            # canonical order (module docstring): ascending (x, y, z)
+            key = (ds[:, 0] * res_y + ds[:, 1]) * res_y + ds[:, 2]
+            vy = jnp.arange(y_cap, dtype=jnp.int32) < ny
+            order = jnp.argsort(
+                jnp.where(vy, key, jnp.iinfo(jnp.int32).max)
+            )
+            packed = jnp.concatenate(
+                [ds.astype(jnp.float32), yf.astype(jnp.float32)], axis=1
+            )[order]
+            meta = jnp.stack(
+                [ny, y.dropped, n_unique, nums[0][0], nums[1][0],
+                 nums[2][0]]
+            )
+            return packed, meta
 
         return fn
 
+    @staticmethod
+    def _unpack_bottleneck(pack, cap_y: int, nb3: int, res_y: int):
+        """Shared decode-side unpacking: ONE f32 array [cap_y+1, 3+C]
+        (xyz + features rows; trailing metadata row = m, nums0..2) ->
+        (bottleneck BlockGrid, nums int32 [3]).  See _encode_fn for why
+        transfers are packed.  f32 holds counts exactly up to 2^24."""
+        m = pack[cap_y, 0].astype(jnp.int32)
+        nums = pack[cap_y, 1:4].astype(jnp.int32)
+        xyz = pack[:cap_y, :3].astype(jnp.int32) * 8
+        # Decoder grids are the HBM peak (pre-prune candidate grids at
+        # full res); storing their features in the compute dtype halves
+        # that peak (17.6 GB -> fits, measured at vox10).  Occupancy
+        # decisions (top-k, masks) are bool/int and unaffected.
+        feats = pack[:cap_y, 3:].astype(B.COMPUTE_DTYPE)
+        valid = jnp.arange(cap_y, dtype=jnp.int32) < m
+        rows = jnp.concatenate(
+            [jnp.zeros((cap_y, 1), jnp.int32), xyz], axis=1
+        )
+        y = B.blockify(
+            rows, feats, valid, nb3, stride=8, res=res_y, num_batches=1
+        )
+        return y, nums
+
     @functools.lru_cache(maxsize=None)
-    def _decode_fn(self, plan: BlockPlan, out_cap: int):
+    def _decode_fn(self, plan: BlockPlan, out_cap: int, cap_y: int):
         model = self._model(plan)
         nb3 = plan.nb[3]
         # The bottleneck grid lives at stride 8: its grid resolution is
@@ -199,21 +267,91 @@ class Coder:
         res_y = max(1, plan.res // 8)
 
         @jax.jit
-        def fn(params, rows, feats, valid, nums):
-            # Decoder grids are the HBM peak (pre-prune candidate grids at
-            # full res); storing their features in the compute dtype halves
-            # that peak (17.6 GB -> fits, measured at vox10).  Occupancy
-            # decisions (top-k, masks) are bool/int and unaffected.
-            feats = feats.astype(B.COMPUTE_DTYPE)
-            y = B.blockify(
-                rows, feats, valid, nb3, stride=8, res=res_y, num_batches=1
-            )
+        def fn(params, pack):
+            y, nums = Coder._unpack_bottleneck(pack, cap_y, nb3, res_y)
             nums_list = [nums[0:1], nums[1:2], nums[2:3]]
             out = model.apply(
                 params, y, nums_list, method=PCCModel.decode_fn
             )
             oc, _, cnt = B.extract(out, out_cap, with_feats=False)
-            return oc, cnt, out.dropped
+            # uint16 halves D2H bytes (res <= 4096 < 2^16 by contract)
+            return oc[:, 1:].astype(jnp.uint16), jnp.stack(
+                [cnt, out.dropped]
+            )
+
+        return fn
+
+    @functools.lru_cache(maxsize=None)
+    def _decode_streamed_fn(self, plan: BlockPlan, out_cap: int,
+                            n_slabs: int, cap_y: int):
+        """Memory-bounded decode: stages 0-1 whole, final stage streamed
+        over x-slabs of blocks (1-block halo; the stage's receptive field
+        is 8 voxels).  Candidate FEATURES exist only per-slab; globally only
+        the 1-channel cls logits + candidate structure are materialized —
+        what makes whole-frame vox11 (res 2048) decode fit one chip.
+        """
+        model = self._model(plan)
+        nb3 = plan.nb[3]
+        res_y = max(1, plan.res // 8)
+        cand_cap = plan.up_cap(2)
+        # generous per-slab caps: equal x-ranges are density-imbalanced on
+        # real content, so budget ~4x the mean (+1 halo share); overflow is
+        # detected (dropped counter) and raises rather than corrupting.
+        sub_in_cap = max(1024, plan.dec_nb[1] * 4 // n_slabs)
+        sub_cand_cap = plan.up_factors[2] * sub_in_cap
+
+        @jax.jit
+        def fn(params, pack):
+            y, nums = Coder._unpack_bottleneck(pack, cap_y, nb3, res_y)
+            out = model.apply(
+                params, y, [nums[0:1], nums[1:2]],
+                method=PCCModel.decode_coarse_fn,
+            )
+            cand = B.conv_up_structure(out, cand_cap)
+            g_in = B.grid_dim(out.res)
+            logits0 = jnp.zeros((cand_cap, B.VOL), jnp.float32)
+
+            def body(i, carry):
+                logits, extra_drops = carry
+                ia = i * g_in // n_slabs
+                ib = (i + 1) * g_in // n_slabs
+                bx = out.coords[:, 1]
+                keep_blocks = (bx >= ia - 1) & (bx < ib + 1)
+                sub = B.compact_where(out, keep_blocks, sub_in_cap)
+                sub_cls = model.apply(
+                    params, sub, sub_cand_cap,
+                    method=PCCModel.decode_stage2_fn,
+                )
+                cx = sub_cls.coords[:, 1]
+                interior = (
+                    (cx >= 2 * ia) & (cx < 2 * ib) & sub_cls.valid
+                )
+                key = B._flat_block_key(
+                    sub_cls.coords, cand.G, cand.num_batches
+                )
+                grow = jnp.where(
+                    interior, cand.table[key],
+                    cand_cap + jnp.arange(
+                        sub_cls.nb_cap, dtype=jnp.int32
+                    ),
+                )
+                logits = logits.at[grow].set(
+                    sub_cls.feats[:, :, 0].astype(jnp.float32),
+                    mode="drop", unique_indices=True,
+                )
+                extra_drops = extra_drops + (sub_cls.dropped - out.dropped)
+                return logits, extra_drops
+
+            logits, extra_drops = jax.lax.fori_loop(
+                0, n_slabs, body, (logits0, jnp.int32(0))
+            )
+            keep = B.topk_mask(cand, logits, nums[2:3])
+            pruned = B.prune(cand, keep)
+            oc, _, cnt = B.extract(pruned, out_cap, with_feats=False)
+            # uint16 halves D2H bytes (res <= 4096 < 2^16 by contract)
+            return oc[:, 1:].astype(jnp.uint16), jnp.stack(
+                [cnt, cand.dropped + extra_drops]
+            )
 
         return fn
 
@@ -234,8 +372,15 @@ class Coder:
         return self._pmf_jit(num_symbols)(eb_params, min_v)
 
     def _plan_for(self, n_points: int) -> BlockPlan:
+        import dataclasses
+
         cap = _bucket(n_points, self.input_granularity)
-        return BlockPlan.for_cloud(cap, self.res)
+        plan = BlockPlan.for_cloud(cap, self.res)
+        if self.up_factors is not None:
+            plan = dataclasses.replace(plan, up_factors=self.up_factors)
+        if self.dec_nb is not None:
+            plan = dataclasses.replace(plan, dec_nb=self.dec_nb)
+        return plan
 
     # --- public API ---------------------------------------------------------
 
@@ -250,25 +395,35 @@ class Coder:
         n = len(coords)
         plan = self._plan_for(n)
         cap = _bucket(n, self.input_granularity)
-        rows, valid = collate([coords], capacity=cap)
-        yc, yf, ny, nums, n_in, n_drop = self._encode_fn(plan, cap)(
-            self.params, rows, valid
-        )
-        ny = int(ny)
-        if int(n_drop) or int(n_in) != n or ny >= cap:
+        pack = np.zeros((cap + 1, 3), dtype=np.int32)
+        pack[:n] = coords
+        pack[cap, 0] = n
+        # Bottleneck voxel count is ~n/50 on surface content (3 halvings of
+        # a 2-D surface); n/16 is a comfortable cap, with a one-time re-jit
+        # fallback at full cap if a pathological frame overflows it.
+        y_cap = _bucket(max(n // 16, 1), self.prune_granularity)
+        packed, meta = self._encode_fn(plan, cap, y_cap)(self.params, pack)
+        meta = np.asarray(meta)
+        if int(meta[0]) >= y_cap:
+            y_cap = cap
+            packed, meta = self._encode_fn(plan, cap, y_cap)(
+                self.params, pack
+            )
+            meta = np.asarray(meta)
+        ny, n_drop, n_in = int(meta[0]), int(meta[1]), int(meta[2])
+        if n_drop or n_in != n or ny >= y_cap:
             raise RuntimeError(
                 f"capacity plan too small for frame ({n} pts, res "
-                f"{self.res}): dropped={int(n_drop)} n_in={int(n_in)} "
+                f"{self.res}): dropped={n_drop} n_in={n_in} "
                 f"ny={ny}; raise BlockPlan.for_cloud sizing"
             )
-        num_points = [int(v) for v in np.asarray(nums)]
+        num_points = [int(v) for v in meta[3:6]]
         with open(self.filename + postfix + "_num_points.bin", "wb") as f:
             f.write(np.array(num_points, dtype=np.int32).tobytes())
 
-        ds_coords = np.asarray(yc)[:ny, 1:] // 8
-        feats = np.asarray(yf)[:ny]
-        order = canonical_order(ds_coords)
-        ds_coords, feats = ds_coords[order], feats[order]
+        packed = np.asarray(packed)[:ny]
+        ds_coords = packed[:, :3].astype(np.int32)
+        feats = packed[:, 3:]
         self.feature_coder.encode(feats, postfix)
         self.coordinate_coder.encode(ds_coords, postfix)
         return ds_coords, np.round(feats)
@@ -288,24 +443,28 @@ class Coder:
 
         plan = self._plan_for(max(n_frame, num_points[-1]))
         cap_y = _bucket(m, self.prune_granularity)
-        rows = np.zeros((cap_y, 4), dtype=np.int32)
-        rows[:m, 1:] = coords * 8
-        valid = np.zeros((cap_y,), dtype=bool)
-        valid[:m] = True
-        f_pad = np.zeros((cap_y, feats.shape[1]), dtype=np.float32)
-        f_pad[:m] = feats
+        pack = np.zeros((cap_y + 1, 3 + feats.shape[1]), dtype=np.float32)
+        pack[:m, :3] = coords
+        pack[:m, 3:] = feats
+        pack[cap_y, 0] = m
+        pack[cap_y, 1:4] = num_points
         out_cap = _bucket(num_points[-1], self.input_granularity)
-        nums_arr = jnp.asarray(np.array(num_points, dtype=np.int32))
-        oc, cnt, n_drop = self._decode_fn(plan, out_cap)(
-            self.params, rows, f_pad, valid, nums_arr
-        )
-        if int(n_drop):
+        n_slabs = self.streamed_slabs or (8 if plan.res >= 2048 else 0)
+        if n_slabs:
+            decode_fn = self._decode_streamed_fn(
+                plan, out_cap, n_slabs, cap_y
+            )
+        else:
+            decode_fn = self._decode_fn(plan, out_cap, cap_y)
+        oc, meta = decode_fn(self.params, pack)
+        meta = np.asarray(meta)
+        if int(meta[1]):
             raise RuntimeError(
                 f"decode overflowed the capacity plan "
-                f"(dropped={int(n_drop)}); raise BlockPlan.for_cloud sizing"
+                f"(dropped={int(meta[1])}); raise BlockPlan.for_cloud sizing"
             )
-        n_out = int(cnt)
-        return np.asarray(oc)[:n_out, 1:]
+        n_out = int(meta[0])
+        return np.asarray(oc)[:n_out].astype(np.int32)
 
     def bitstream_bytes(self, postfix: str = "") -> dict:
         """Sizes of the 4 bitstream files (ref test.py:63-66)."""

@@ -24,7 +24,9 @@ import numpy as np
 from pcgcv2_tpu.codec import native
 
 _N_CTX = 257  # 1 root context + 256 parent-byte contexts
-MAGIC = b"PCOC"
+MAGIC = b"PCOC"   # v1: exponential-update probability model
+MAGIC2 = b"PCO2"  # v2: Krichevsky-Trofimov count model (~20% fewer bits
+#                   on per-frame streams; encode default, decode reads both)
 
 
 def _part1by2(v: np.ndarray) -> np.ndarray:
@@ -84,7 +86,7 @@ def _build_levels(leaf_keys: np.ndarray, depth: int):
     return levels
 
 
-def encode(coords: np.ndarray) -> bytes:
+def encode(coords: np.ndarray, model: int = 1) -> bytes:
     """Losslessly encode unique non-negative int coordinates [N, 3]."""
     assert coords.ndim == 2 and coords.shape[1] == 3
     assert (coords >= 0).all(), "octree codec needs non-negative coords"
@@ -94,7 +96,7 @@ def encode(coords: np.ndarray) -> bytes:
     depth = max(1, max_c.bit_length())
 
     levels = _build_levels(keys, depth)
-    enc = native.AdaptiveByteEncoder(_N_CTX)
+    enc = native.AdaptiveByteEncoder(_N_CTX, model=model)
     for d, (nodes, occ) in enumerate(levels):
         if d == 0:
             ctx = np.zeros(len(occ), dtype=np.uint32)
@@ -104,15 +106,16 @@ def encode(coords: np.ndarray) -> bytes:
             ctx = 1 + pocc[pidx].astype(np.uint32)
         enc.write(occ, ctx)
     payload = enc.finish()
-    header = MAGIC + struct.pack("<BI", depth, n)
+    header = (MAGIC2 if model == 1 else MAGIC) + struct.pack("<BI", depth, n)
     return header + payload
 
 
 def decode(data: bytes) -> np.ndarray:
     """Inverse of `encode`: returns sorted unique [N, 3] int32 coords."""
-    assert data[:4] == MAGIC, "bad octree stream"
+    assert data[:4] in (MAGIC, MAGIC2), "bad octree stream"
+    model = 1 if data[:4] == MAGIC2 else 0
     depth, n = struct.unpack("<BI", data[4:9])
-    dec = native.AdaptiveByteDecoder(data[9:], _N_CTX)
+    dec = native.AdaptiveByteDecoder(data[9:], _N_CTX, model=model)
     nodes = np.zeros(1, dtype=np.uint64)
     ctx = np.zeros(1, dtype=np.uint32)
     occ = dec.read(ctx)

@@ -12,7 +12,13 @@ from __future__ import annotations
 
 import dataclasses
 import math
+import os
 from typing import Tuple
+
+# Mirrors ops.blocks.BS without importing jax at config time.  Surface
+# block counts scale ~(8/BS)^2 (a 2-D surface crosses ~side^2 voxels of a
+# side^3 block), which the capacity plans below fold in.
+_BS = int(os.environ.get("PCGC_BLOCK_SIZE", "16"))
 
 
 def _round_up(n: int, m: int) -> int:
@@ -110,7 +116,7 @@ class BlockPlan:
         cls,
         n_points: int,
         res: int,
-        blocks_per_point: float = 1 / 40,
+        blocks_per_point: float = (8 / _BS) ** 2 / 40,
         round_to: int = 512,
         slack: float = 1.3,
     ) -> "BlockPlan":
@@ -120,7 +126,7 @@ class BlockPlan:
         ratios = (1.0, 0.35, 0.15, 0.08)
 
         def cells(s):  # worst-case occupied blocks at scale s (batch 1)
-            g = max(1, -(-max(1, res >> s) // 8))
+            g = max(1, -(-max(1, res >> s) // _BS))
             return g ** 3 + 1
 
         nb = tuple(
@@ -145,7 +151,7 @@ class BlockPlan:
         capacity: int,
         res: int,
         batch_size: int,
-        voxels_per_block: int = 20,
+        voxels_per_block: int = 20 * _BS * _BS // 64,
         round_to: int = 256,
     ) -> "BlockPlan":
         """Plan for a training batch: `capacity` padded voxel rows across
@@ -157,7 +163,7 @@ class BlockPlan:
         """
 
         def g(s):  # blocks per axis at scale s
-            return max(1, -(-max(1, res >> s) // 8))
+            return max(1, -(-max(1, res >> s) // _BS))
 
         per_item = max(256, capacity // max(batch_size, 1) // voxels_per_block)
         ratios = (1.0, 0.4, 0.2, 0.125)

@@ -39,11 +39,22 @@ def find_pc_error() -> Optional[str]:
         if os.access(ref, os.X_OK):
             return ref
         # read-only checkouts ship the ELF without the exec bit: stage an
-        # executable copy once
-        staged = "/tmp/pcgc_pc_error_d"
+        # executable copy once, in a per-user dir via atomic rename (a fixed
+        # world-writable /tmp path could be pre-planted by another local
+        # user, and concurrent runs could exec a half-copied file)
+        cachedir = os.path.join(
+            os.path.expanduser("~"), ".cache", "pcgcv2_tpu"
+        )
+        os.makedirs(cachedir, exist_ok=True)
+        staged = os.path.join(cachedir, "pc_error_d")
         if not os.path.exists(staged):
-            shutil.copy(ref, staged)
-            os.chmod(staged, 0o755)
+            import tempfile
+
+            fd, tmp = tempfile.mkstemp(dir=cachedir)
+            with os.fdopen(fd, "wb") as out, open(ref, "rb") as src:
+                shutil.copyfileobj(src, out)
+            os.chmod(tmp, 0o755)
+            os.replace(tmp, staged)
         return staged
     return None
 

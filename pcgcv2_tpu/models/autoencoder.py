@@ -71,7 +71,31 @@ class Decoder(nn.Module):
     plan: BlockPlan = BlockPlan(res=128, nb=(2048, 1024, 512, 256))
     blocks: int = 3
 
-    @nn.compact
+    def setup(self):
+        ch = self.channels
+        for s in range(3):
+            setattr(self, f"up{s}", BGenUp(ch[s + 1], self.plan.up_cap(s)))
+            setattr(self, f"conv{s}", BConv3(ch[s + 1]))
+            for i in range(self.blocks):
+                setattr(self, f"block{s}_{i}", RematIRN(ch[s + 1]))
+            setattr(self, f"conv{s}_cls", BConv3(1))
+
+    def stage(
+        self, s: int, bg: BlockGrid, up_cap: Optional[int] = None
+    ) -> Tuple[BlockGrid, BlockGrid]:
+        """One decoder scale on an arbitrary (sub-)grid: generative up-conv
+        -> 3^3 conv -> IRN stack -> occupancy head.  Returns (features,
+        cls-logits) on the pre-prune candidate grid.  Public so the
+        streamed / spatially-sharded decoders can run a stage on coordinate
+        slabs (the stage's receptive field is 8 voxels — one halo block)."""
+        out = relu(getattr(self, f"up{s}")(bg, out_cap=up_cap))
+        nbrs = B.neighbor_rows(out)
+        out = relu(getattr(self, f"conv{s}")(out, nbrs))
+        for i in range(self.blocks):
+            out = getattr(self, f"block{s}_{i}")(out, nbrs)
+        cls = getattr(self, f"conv{s}_cls")(out, nbrs)
+        return out, cls
+
     def __call__(
         self,
         y: BlockGrid,
@@ -85,17 +109,10 @@ class Decoder(nn.Module):
         1-channel occupancy logits as features — exactly what the loss needs
         (ref pcc_model.py:39-45, loss.py:7-15).
         """
-        ch = self.channels
         out = y
         out_cls_list: List[BlockGrid] = []
         for s in range(3):
-            out = BGenUp(ch[s + 1], self.plan.up_cap(s), name=f"up{s}")(out)
-            out = relu(out)
-            nbrs = B.neighbor_rows(out)
-            out = relu(BConv3(ch[s + 1], name=f"conv{s}")(out, nbrs))
-            for i in range(self.blocks):
-                out = RematIRN(ch[s + 1], name=f"block{s}_{i}")(out, nbrs)
-            cls = BConv3(1, name=f"conv{s}_cls")(out, nbrs)
+            out, cls = self.stage(s, out)
             out_cls_list.append(cls)
             logits = cls.feats[:, :, 0]
             keep = B.topk_mask(out, logits, nums_list[s])

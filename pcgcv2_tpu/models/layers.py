@@ -91,13 +91,15 @@ class BConvDown(nn.Module):
 class BGenUp(nn.Module):
     """Generative transposed conv, kernel=2 stride=2 — emits all 8 children
     per voxel (ref ME.MinkowskiGenerativeConvolutionTranspose,
-    autoencoder.py:155)."""
+    autoencoder.py:155).  `out_cap` (static block capacity of the output
+    grid) can be overridden per call — weights are capacity-independent, so
+    slab-decomposed decoders reuse the same parameters at smaller caps."""
 
     features: int
     out_cap: int
 
     @nn.compact
-    def __call__(self, bg: BlockGrid) -> BlockGrid:
+    def __call__(self, bg: BlockGrid, out_cap=None) -> BlockGrid:
         w = self.param(
             "kernel", kernel_init,
             (8, bg.channels, self.features), jnp.float32,
@@ -105,7 +107,9 @@ class BGenUp(nn.Module):
         b = self.param(
             "bias", nn.initializers.zeros, (self.features,), jnp.float32
         )
-        return B.conv_up_generative(bg, w, b, self.out_cap)
+        return B.conv_up_generative(
+            bg, w, b, self.out_cap if out_cap is None else out_cap
+        )
 
 
 class BInceptionResNet(nn.Module):

@@ -110,5 +110,25 @@ class PCCModel(nn.Module):
         _, out = self.decoder(y_q, nums_list, None, False)
         return out
 
+    def decode_coarse_fn(
+        self, y_q: BlockGrid, nums_list: Sequence[jax.Array]
+    ) -> BlockGrid:
+        """Decoder stages 0-1 only (strides 8->4->2): the small grids.  The
+        streamed / spatially-sharded decoders run these whole and decompose
+        only the final stage (the HBM hog)."""
+        out = y_q
+        for s in range(2):
+            out, cls = self.decoder.stage(s, out)
+            keep = B.topk_mask(out, cls.feats[:, :, 0], nums_list[s])
+            out = B.compact(B.prune(out, keep), self.plan.dec_nb[s])
+        return out
+
+    def decode_stage2_fn(self, bg: BlockGrid, up_cap: int):
+        """Final decoder stage on an arbitrary (sub-)grid: returns the
+        pre-prune candidate grid's cls-logits grid.  Receptive field is 8
+        voxels, so a 1-block input halo makes interior logits exact."""
+        _, cls = self.decoder.stage(2, bg, up_cap=up_cap)
+        return cls
+
     def pmf_fn(self, min_v, max_v_static: int):
         return self.entropy_bottleneck.pmf(min_v, max_v_static)

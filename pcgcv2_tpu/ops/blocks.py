@@ -6,16 +6,16 @@ coder.py:102) is a GPU hash-map + gather-GEMM design.  A direct translation
 kernel-map build at vox10 scale on a v5e chip — TPU gathers are scalar-ish and
 int64 is emulated.  This module is the TPU-first redesign:
 
-* **Space is partitioned into 8^3 dense blocks.**  A `BlockGrid` stores the
-  occupied blocks' features as one dense tensor [nb, 512, C] plus a per-slot
-  occupancy mask.  Surface scans fill ~10% of their blocks' slots, so dense
-  block compute costs ~10x the sparse FLOPs — and the MXU is ~100x faster at
-  dense conv than the VPU is at per-voxel gathers.  Net win >10x, measured.
+* **Space is partitioned into BS^3 dense blocks.**  A `BlockGrid` stores the
+  occupied blocks' features as one dense tensor [nb, BS^3, C] plus a per-slot
+  occupancy mask.  Surface scans fill ~5-10% of their blocks' slots, so dense
+  block compute costs ~10-20x the sparse FLOPs — and the MXU is ~100x faster
+  at dense conv than the VPU is at per-voxel gathers.  Net win >10x, measured.
 
 * **All structure ops are block-level.**  A dense lookup table (one int32 per
   block-space cell) maps block coordinates to block rows.  Neighbor maps are
   27 table gathers per *block* (not per voxel); 3^3 convolutions assemble a
-  10^3 halo from neighbor-block slabs and run `lax.conv_general_dilated`
+  (BS+2)^3 halo from neighbor-block slabs and run `lax.conv_general_dilated`
   (MXU); stride-2 down/up convolutions are pure reshapes + matmuls that move
   whole octants between block scales.  Per-voxel work happens exactly twice
   per frame: scattering points into blocks and extracting them back out.
@@ -29,14 +29,17 @@ int64 is emulated.  This module is the TPU-first redesign:
   per-batch-item segments are contiguous (top-k, counts) and extraction
   yields a canonical block-scan order.
 
-Block size is fixed at 8 (BS=8, 512 slots): the halo overhead (10^3/8^3 ~
-1.95x) beats 4^3 blocks (6^3/4^3 ~ 3.4x), and [*, 512, C] tensors tile the
-MXU/VPU lanes well.
+Block size defaults to 16 (4096 slots): the halo overhead (18^3/16^3 ~
+1.42x) beats 8^3 blocks (10^3/8^3 ~ 1.95x), slab gathers are 8x fewer and
+8x bigger (gather row count, not bytes, dominated the 8^3 conv3 on v5e),
+and the dense lookup table shrinks 8x.  `PCGC_BLOCK_SIZE=8` restores the
+smaller blocks (tests cross-validate both against the sparse oracle).
 """
 
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional, Sequence, Tuple
 
 import jax
@@ -44,14 +47,23 @@ import jax.numpy as jnp
 import numpy as np
 from flax import struct
 
-BS = 8              # block side
-VOL = BS ** 3       # 512 slots per block
+# Block side.  16 is the measured sweet spot on v5e: vs 8 it cuts halo
+# overhead from (10/8)^3 = 1.95x to (18/16)^3 = 1.42x, runs 8x fewer (and
+# 8x bigger) slab gathers per 3^3 conv, and shrinks the dense lookup table
+# 8x (vox11 whole-frame headroom) — at the cost of ~2x dense slots (surface
+# occupancy ~5% vs ~10%), which the MXU absorbs.  Env-overridable so the
+# test suite can cross-validate both sizes against the sparse oracle.
+BS = int(os.environ.get("PCGC_BLOCK_SIZE", "16"))
+VOL = BS ** 3       # slots per block
 
 # Dtype for conv/matmul inputs (halos, windows).  Storage (BlockGrid.feats)
-# stays float32; accumulation is always float32 (preferred_element_type).
-# bfloat16 halves the HBM traffic of the halo-dominated 3^3 convs — the
-# production codec/training scripts opt in; tests keep float32 so oracle
-# comparisons stay exact.  Read at TRACE time: set before building a jit.
+# stays float32.  In bfloat16 mode the conv's requested output dtype is also
+# bf16 (see _conv3_dense: a widening bf16->f32 conv has no transpose rule);
+# the MXU still accumulates each 128-wide dot in f32 internally before the
+# bf16 store.  bfloat16 halves the HBM traffic of the halo-dominated 3^3
+# convs — the production codec/training scripts opt in; tests keep float32
+# so oracle comparisons stay exact.  Read at TRACE time: call
+# set_compute_dtype BEFORE building any jit, or stale dtypes get baked in.
 COMPUTE_DTYPE = jnp.float32
 
 
@@ -88,7 +100,7 @@ def check_table_size(res: int, num_batches: int) -> None:
 
 @struct.dataclass
 class BlockGrid:
-    """Occupied 8^3 blocks of a sparse voxel set at one scale.
+    """Occupied BS^3 blocks of a sparse voxel set at one scale.
 
     coords : int32 [nb_cap, 4]  — (batch, bx, by, bz) of each block; invalid
              rows are (0, 0, 0, 0) and distinguishable only via `valid`.
@@ -136,7 +148,7 @@ class BlockGrid:
 
     @property
     def blocks(self) -> jax.Array:
-        """feats viewed as [nb_cap, 8, 8, 8, C]."""
+        """feats viewed as [nb_cap, BS, BS, BS, C]."""
         return self.feats.reshape(self.nb_cap, BS, BS, BS, self.channels)
 
     def with_feats(self, feats: jax.Array) -> "BlockGrid":
@@ -285,9 +297,15 @@ def extract(
 
     Rows come out in block-scan order (sorted blocks, slot-raveled within) —
     the backend's canonical order.  The per-voxel exit point (used for the
-    bottleneck bitstream and the decoded point set).  Positions are made
-    globally unique (dropped rows get distinct out-of-range slots) so the
-    scatter vectorizes on TPU; coords and feats ride one fused scatter.
+    bottleneck bitstream and the decoded point set).
+
+    Scatter-light formulation: only an int32 flat slot index is scattered
+    into the compact row table; coords are recomputed arithmetically from it
+    and feats are row-gathered.  (A wide-payload scatter of coords+feats
+    lowered to >1 s at vox10 scale on v5e; the index scatter plus gathers is
+    bandwidth-bound.)  Unused rows point at the reserved invalid block
+    (nb_cap - 1, all zeros), so they come out as zero coords/feats exactly
+    like the scatter version.
     """
     flat_mask = (bg.mask & bg.valid[:, None]).reshape(-1)
     n_all = flat_mask.shape[0]
@@ -296,26 +314,21 @@ def extract(
     pos = jnp.where(
         flat_mask, pos, out_cap + jnp.arange(n_all, dtype=jnp.int32)
     )
-    coords_all = slot_coords(bg).reshape(-1, 4)
+    sentinel = jnp.int32((bg.nb_cap - 1) * VOL)  # invalid row, slot 0
+    idx = jnp.full((out_cap,), sentinel, jnp.int32).at[pos].set(
+        jnp.arange(n_all, dtype=jnp.int32), mode="drop", unique_indices=True
+    )
+    row = idx // VOL
+    slot = idx % VOL
+    bc = bg.coords[row]  # [out_cap, 4]; invalid row -> (0, 0, 0, 0)
+    local = jnp.stack(
+        [slot // (BS * BS), (slot // BS) % BS, slot % BS], axis=-1
+    )
+    xyz = (bc[:, 1:] * BS + local) * bg.stride
+    out_c = jnp.concatenate([bc[:, :1], xyz], axis=-1)
+    out_f = None
     if with_feats:
-        ch = bg.channels
-        payload = jnp.concatenate(
-            [
-                coords_all.astype(jnp.float32),
-                bg.feats.reshape(-1, ch).astype(jnp.float32),
-            ],
-            axis=-1,
-        )
-        out = jnp.zeros((out_cap, 4 + ch), jnp.float32).at[pos].set(
-            payload, mode="drop", unique_indices=True
-        )
-        out_c = out[:, :4].astype(jnp.int32)
-        out_f = out[:, 4:].astype(bg.feats.dtype)
-    else:
-        out_c = jnp.zeros((out_cap, 4), jnp.int32).at[pos].set(
-            coords_all, mode="drop", unique_indices=True
-        )
-        out_f = None
+        out_f = bg.feats.reshape(-1, bg.channels)[idx]
     count = jnp.minimum(count, out_cap)
     return out_c, out_f, count
 
@@ -350,62 +363,139 @@ def neighbor_rows(bg: BlockGrid) -> jax.Array:
     return jnp.where(in_rng, rows, bg.nb_cap - 1)
 
 
-# Blocks per lax.map chunk in the large-grid conv3 path.  4096 blocks keep
-# the MXU batch large while bounding the per-chunk halo to
-# 4096 * 10^3 * C floats (~1 GB at C=64 f32) regardless of grid size.
-CONV3_CHUNK = 4096
+# Blocks per lax.map chunk in the large-grid conv3 path: keeps the MXU
+# batch large while bounding the per-chunk halo to
+# CHUNK * (BS+2)^3 * C floats (~1 GB at C=64 f32) regardless of grid size.
+CONV3_CHUNK = max(256, 4096 * 512 // VOL)
 
 _SL = {0: (BS - 1, BS), 1: (0, BS), 2: (0, 1)}  # neighbor-offset -> slab slice
 
 
-def _halo_chunk(blk: jax.Array, nbrs: jax.Array, ch: int) -> jax.Array:
-    """Assemble [m, 10, 10, 10, C] halos for a set of blocks by gathering
-    27 slabs per block from the full folded block tensor.
+def _halo_slabs(blk: jax.Array, ch: int):
+    """Pre-slice the 26 boundary slab tensors (faces/edges/corners) from
+    the folded block tensor `blk` [nb, BS, BS, BS*ch].
 
-    blk: [nb, BS, BS, BS*ch] (folded z*C lanes); nbrs: [m, 3, 3, 3] rows.
-    No cross-row dependencies, so it works on an arbitrary row subset —
-    both the big-grid chunking primitive and the direct small-grid path.
-
-    NOTE on alternatives (both measured SLOWER end-to-end at vox10 on v5e):
-    * a separable 6-copy assembly with optimization_barrier'd full-block
-      gathers (~13x memory-bound amplification from the materialized
-      copies);
-    * a single z-line gather ([m,10,10]-indexed rows of 8C) + thin z-end
-      gathers — the 2-D-batched gather lowers worse than these 27
-      fused slice-gathers (bench 14.2 s vs 11.1 s per frame).
+    Key perf fact (measured on v5e): a fused `blk[rows][:, thin_slice]`
+    lowers as gather-THEN-slice — every thin face gather reads the full
+    block row (~16-30x amplification; 73 ms per conv3 at vox10).  Slicing
+    the slab out of ALL rows first (static, contiguous, ~0.95x feats bytes
+    total) and then row-gathering from the compact slab tensor reads only
+    what the halo needs.  The barrier pins the slabs so XLA cannot fuse
+    them back into the gathers.
     """
-    parts_x = []
+    slabs = {}
     for dx in (0, 1, 2):
         x0, x1 = _SL[dx]
-        parts_y = []
         for dy in (0, 1, 2):
             y0, y1 = _SL[dy]
+            for dz in (0, 1, 2):
+                if dx == dy == dz == 1:
+                    continue  # center: gathered whole, no pre-slice
+                z0, z1 = _SL[dz]
+                slabs[(dx, dy, dz)] = blk[
+                    :, x0:x1, y0:y1, z0 * ch:z1 * ch
+                ]
+    keys = sorted(slabs)
+    vals = jax.lax.optimization_barrier([slabs[k] for k in keys])
+    return dict(zip(keys, vals))
+
+
+def _halo_chunk(
+    blk: jax.Array, nbrs: jax.Array, ch: int, slabs=None
+) -> jax.Array:
+    """Assemble [m, BS+2, BS+2, BS+2, C] halos for a set of blocks.
+
+    blk: [nb, BS, BS, BS*ch] (folded z*C lanes); nbrs: [m, 3, 3, 3] rows.
+    slabs: pre-sliced boundary tensors from `_halo_slabs` (built here if
+    absent).  Each piece is a dense row gather from its compact slab
+    tensor (or from blk for the center) — see `_halo_slabs` for why.
+    No cross-row dependencies, so it works on an arbitrary row subset —
+    both the big-grid chunking primitive and the direct small-grid path.
+    """
+    if slabs is None:
+        slabs = _halo_slabs(blk, ch)
+    parts_x = []
+    for dx in (0, 1, 2):
+        parts_y = []
+        for dy in (0, 1, 2):
             parts_z = []
             for dz in (0, 1, 2):
-                z0, z1 = _SL[dz]
                 rows = nbrs[:, dx, dy, dz]
-                piece = blk[rows][:, x0:x1, y0:y1, z0 * ch:z1 * ch]
+                if dx == dy == dz == 1:
+                    piece = blk[rows]
+                else:
+                    piece = slabs[(dx, dy, dz)][rows]
                 parts_z.append(piece)
             parts_y.append(jnp.concatenate(parts_z, axis=3))
         parts_x.append(jnp.concatenate(parts_y, axis=2))
-    h = jnp.concatenate(parts_x, axis=1)  # [m, 10, 10, 10*ch]
-    return h.reshape(h.shape[0], BS + 2, BS + 2, BS + 2, ch)
+    return jnp.concatenate(parts_x, axis=1)  # [m, BS+2, BS+2, (BS+2)*ch]
+
+
+def _zfold_g(co: int) -> int:
+    """z-group size for the banded conv: smallest power of 2 (<= BS) whose
+    folded output lane width g*co reaches 128."""
+    g = 1
+    while g < BS and g * co < 128:
+        g *= 2
+    return g
+
+
+def _banded_weight(w: jax.Array, g: int, compute_dtype) -> jax.Array:
+    """[3,3,3,ci,co] -> z-band-folded conv2d weight [3,3,(g+2)*ci, g*co].
+
+    Column block zo (outputs for local z = zo) reads input z in
+    [zo, zo+3): rows zo*ci..(zo+3)*ci hold w[:, :, 0..2], zeros elsewhere.
+    A pure (differentiable) relayout of w, built at trace time.
+    """
+    ci, co = w.shape[3], w.shape[4]
+    w = w.astype(compute_dtype)
+    cols = []
+    for zo in range(g):
+        parts = []
+        if zo:
+            parts.append(jnp.zeros((3, 3, zo * ci, co), compute_dtype))
+        parts.extend([w[:, :, 0], w[:, :, 1], w[:, :, 2]])
+        if g - 1 - zo:
+            parts.append(
+                jnp.zeros((3, 3, (g - 1 - zo) * ci, co), compute_dtype)
+            )
+        cols.append(jnp.concatenate(parts, axis=2))
+    return jnp.concatenate(cols, axis=3)
 
 
 def _conv3_dense(h: jax.Array, weight, bias, compute_dtype):
-    # preferred_element_type must MATCH the input dtype: a widening conv
-    # (bf16 -> f32) has no valid transpose rule (the f32 cotangent meets the
-    # bf16 weight and lax.conv rejects mixed dtypes).  MXU accumulation is
-    # f32 internally either way; the cast to storage dtype happens in the
-    # caller.
-    out = jax.lax.conv_general_dilated(
-        h, weight.astype(compute_dtype),
-        window_strides=(1, 1, 1), padding="VALID",
-        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
-        preferred_element_type=compute_dtype,
-    )
+    """Dense 3^3 conv on a FOLDED halo [m, BS+2, BS+2, (BS+2)*ci] ->
+    folded output [m, BS, BS, BS*co].
+
+    The z axis stays folded into the lane dim end-to-end: bf16 tiles are
+    (16, 128), so an unfolded [., BS+2, BS+2, BS+2, C] halo at C=16 pads
+    8x in HBM (measured: a 2.3 GB nominal halo materialized as 24 GB) and
+    the conv becomes HBM-bound on padding.  Instead the z convolution is
+    expressed as a BAND matrix over the folded (z, C) lanes: outputs fold
+    z in groups of g (g*co >= 128 full output lanes), each group a 3x3
+    conv2d with Cin=(g+2)*ci, Cout=g*co — MXU-shaped on both sides.  FLOP
+    overhead (g+2)/3 (the band's zeros) buys the 8x traffic cut.
+
+    preferred_element_type must MATCH the input dtype: a widening conv
+    (bf16 -> f32) has no valid transpose rule.  MXU accumulation is f32
+    internally either way.
+    """
+    ci, co = weight.shape[3], weight.shape[4]
+    g = _zfold_g(co)
+    wb = _banded_weight(weight, g, compute_dtype)
+    outs = []
+    for zg in range(BS // g):
+        xs = jax.lax.slice_in_dim(
+            h, zg * g * ci, (zg * g + g + 2) * ci, axis=3
+        )
+        outs.append(jax.lax.conv_general_dilated(
+            xs, wb, window_strides=(1, 1), padding="VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=compute_dtype,
+        ))
+    out = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=3)
     if bias is not None:
-        out = out + bias.astype(compute_dtype)
+        out = out + jnp.tile(bias.astype(compute_dtype), BS)
     return out
 
 
@@ -437,22 +527,23 @@ def conv3(
     if compute_dtype is None:
         compute_dtype = COMPUTE_DTYPE
     ch = bg.channels
-    if ch < 16:
+    ch_min = max(1, 128 // BS)  # folded z*C lane axis >= 128 wide
+    if ch < ch_min:
         bg = bg.replace(
-            feats=jnp.pad(bg.feats, ((0, 0), (0, 0), (0, 16 - ch)))
+            feats=jnp.pad(bg.feats, ((0, 0), (0, 0), (0, ch_min - ch)))
         )
         weight = jnp.pad(
-            weight, ((0, 0), (0, 0), (0, 0), (0, 16 - ch), (0, 0))
+            weight, ((0, 0), (0, 0), (0, 0), (0, ch_min - ch), (0, 0))
         )
-        ch = 16
+        ch = ch_min
     nb = bg.nb_cap
+    blk = bg.feats.astype(compute_dtype).reshape(nb, BS, BS, BS * ch)
+    slabs = _halo_slabs(blk, ch)  # shared by every chunk (loop-invariant)
     if nb <= 2 * CONV3_CHUNK:
-        blk = bg.feats.astype(compute_dtype).reshape(nb, BS, BS, BS * ch)
-        h = _halo_chunk(blk, nbrs, ch)
+        h = _halo_chunk(blk, nbrs, ch, slabs)
         out = _conv3_dense(h, weight, bias, compute_dtype)
         out = out.reshape(nb, VOL, -1)
     else:
-        blk = bg.feats.astype(compute_dtype).reshape(nb, BS, BS, BS * ch)
         n_chunks = -(-nb // CONV3_CHUNK)
         pad_rows = n_chunks * CONV3_CHUNK - nb
         # padding rows point at the invalid all-zero row; their outputs are
@@ -464,9 +555,9 @@ def conv3(
 
         @jax.checkpoint
         def body(nc):
-            h = _halo_chunk(blk, nc, ch)
+            h = _halo_chunk(blk, nc, ch, slabs)
             o = _conv3_dense(h, weight, bias, compute_dtype)
-            return o.reshape(CONV3_CHUNK, VOL, o.shape[-1])
+            return o.reshape(CONV3_CHUNK, VOL, -1)
 
         out = jax.lax.map(body, nbrs_p)
         out = out.reshape(n_chunks * CONV3_CHUNK, VOL, -1)[:nb]
@@ -534,11 +625,12 @@ def conv_down(
         x, w, window_strides=(2, 2, 2), padding="VALID",
         dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
         preferred_element_type=compute_dtype,
-    )  # [nb, 4, 4, 4, cout]
+    )  # [nb, BS/2, BS/2, BS/2, cout]
     if bias is not None:
         y = y + bias.astype(compute_dtype)
-    m = bg.mask.reshape(nb, 4, 2, 4, 2, 4, 2)
-    m_down = m.any(axis=(2, 4, 6))  # [nb, 4, 4, 4]
+    hh = BS // 2
+    m = bg.mask.reshape(nb, hh, 2, hh, 2, hh, 2)
+    m_down = m.any(axis=(2, 4, 6))  # [nb, BS/2, BS/2, BS/2]
     y = jnp.where(m_down[..., None], y, 0).astype(bg.feats.dtype)
 
     # parent block set: parent coord = block coord // 2
@@ -559,27 +651,27 @@ def conv_down(
     # Gather each parent's 8 children octants (children live at this scale's
     # *input* block grid; their down-convolved [4,4,4] tensors are in `y`).
     # Misses point at row nb-1, which is invalid and all-zero by invariant.
-    # Assembly is 8 per-octant row gathers + folded slice writes — zero
-    # transposes (a transposed assembly materializes tiny-minor-dim buffers
-    # that TPU tiling pads 4-8x).
+    # Assembly is 8 per-octant row gathers concatenated along the folded
+    # axes — zero transposes, zero scatter/slice-updates (8 full-tensor
+    # slice writes measured 150+ ms at vox10; concat-of-gathers fuses).
     ch_rows = _child_rows(bg, pcoords, pvalid)  # [nbp, 2, 2, 2]
-    y_f = y.reshape(nb, 4, 4, 4 * cout)  # fold (z, C) lanes
-    pf = jnp.zeros((nb_cap_out, BS, BS, BS * cout), y.dtype)
-    pm = jnp.zeros((nb_cap_out, BS, BS, BS), bool)
+    h = BS // 2
+    y_f = y.reshape(nb, h, h, h * cout)  # fold (z, C) lanes
+    fx, mx = [], []
     for ox in (0, 1):
+        fy, my = [], []
         for oy in (0, 1):
+            fz, mz = [], []
             for oz in (0, 1):
                 rows = ch_rows[:, ox, oy, oz]
-                pf = pf.at[
-                    :, ox * 4:ox * 4 + 4, oy * 4:oy * 4 + 4,
-                    oz * 4 * cout:(oz + 1) * 4 * cout,
-                ].set(y_f[rows])
-                pm = pm.at[
-                    :, ox * 4:ox * 4 + 4, oy * 4:oy * 4 + 4,
-                    oz * 4:oz * 4 + 4,
-                ].set(m_down[rows])
-    pf = pf.reshape(nb_cap_out, VOL, cout)
-    pm = pm.reshape(nb_cap_out, VOL)
+                fz.append(y_f[rows])
+                mz.append(m_down[rows])
+            fy.append(jnp.concatenate(fz, axis=3))
+            my.append(jnp.concatenate(mz, axis=3))
+        fx.append(jnp.concatenate(fy, axis=2))
+        mx.append(jnp.concatenate(my, axis=2))
+    pf = jnp.concatenate(fx, axis=1).reshape(nb_cap_out, VOL, cout)
+    pm = jnp.concatenate(mx, axis=1).reshape(nb_cap_out, VOL)
     pf = jnp.where(pvalid[:, None, None], pf, 0)
     pm = pm & pvalid[:, None]
     pf = jnp.where(pm[:, :, None], pf, 0)
@@ -631,16 +723,17 @@ def conv_up_generative(
         x, w, strides=(2, 2, 2), padding="VALID",
         dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
         preferred_element_type=compute_dtype,
-    )  # [nb, 16, 16, 16, cout]
+    )  # [nb, 2*BS, 2*BS, 2*BS, cout]
     if bias is not None:
         y_big = y_big + bias.astype(compute_dtype)
     # child-voxel mask: each parent voxel's 8 children are occupied
+    d2 = 2 * BS
     m = bg.mask.reshape(nb, BS, 1, BS, 1, BS, 1)
     m_big = jnp.broadcast_to(
         m, (nb, BS, 2, BS, 2, BS, 2)
-    ).reshape(nb, 16, 16, 16)
+    ).reshape(nb, d2, d2, d2)
     y_big = jnp.where(m_big[..., None], y_big, 0).astype(bg.feats.dtype)
-    y_fold = y_big.reshape(nb, 16, 16, 16 * cout)
+    y_fold = y_big.reshape(nb, d2, d2, d2 * cout)
 
     child_f_parts = []
     child_m_parts = []
@@ -649,14 +742,14 @@ def conv_up_generative(
             for oz in (0, 1):
                 child_f_parts.append(
                     y_fold[
-                        :, ox * 8:ox * 8 + 8, oy * 8:oy * 8 + 8,
-                        oz * 8 * cout:(oz + 1) * 8 * cout,
+                        :, ox * BS:(ox + 1) * BS, oy * BS:(oy + 1) * BS,
+                        oz * BS * cout:(oz * BS + BS) * cout,
                     ].reshape(nb, VOL, cout)
                 )
                 child_m_parts.append(
                     m_big[
-                        :, ox * 8:ox * 8 + 8, oy * 8:oy * 8 + 8,
-                        oz * 8:oz * 8 + 8,
+                        :, ox * BS:(ox + 1) * BS, oy * BS:(oy + 1) * BS,
+                        oz * BS:(oz + 1) * BS,
                     ].reshape(nb, VOL)
                 )
     # [nb, 8(oct, ox-major), VOL, C] -> [nb*8, VOL, C]
@@ -710,6 +803,71 @@ def conv_up_generative(
     )
 
 
+def conv_up_structure(bg: BlockGrid, nb_cap_out: int) -> BlockGrid:
+    """Structure-only generative up-conv: the output grid's coords / mask /
+    table / count exactly as `conv_up_generative` would produce, with
+    1-channel zero features (no conv, no weight).
+
+    Lets a streamed or sharded decoder know the full candidate-grid
+    structure (needed for the global top-k) without materializing candidate
+    features — the HBM hog at vox11+ scale.
+    """
+    nb = bg.nb_cap
+    res_out = bg.res * 2
+    check_table_size(res_out, bg.num_batches)
+    g_out = grid_dim(res_out)
+    d2 = 2 * BS
+    m = bg.mask.reshape(nb, BS, 1, BS, 1, BS, 1)
+    m_big = jnp.broadcast_to(
+        m, (nb, BS, 2, BS, 2, BS, 2)
+    ).reshape(nb, d2, d2, d2)
+    child_m_parts = []
+    for ox in (0, 1):
+        for oy in (0, 1):
+            for oz in (0, 1):
+                child_m_parts.append(
+                    m_big[
+                        :, ox * BS:(ox + 1) * BS, oy * BS:(oy + 1) * BS,
+                        oz * BS:(oz + 1) * BS,
+                    ].reshape(nb, VOL)
+                )
+    child_m = jnp.stack(child_m_parts, axis=1).reshape(nb * 8, VOL)
+    d = jnp.arange(2, dtype=jnp.int32)
+    off = jnp.stack(jnp.meshgrid(d, d, d, indexing="ij"), axis=-1)
+    cxyz = bg.coords[:, None, 1:] * 2 + off.reshape(1, 8, 3)
+    cb = jnp.broadcast_to(bg.coords[:, None, :1], (nb, 8, 1))
+    ckey = _flat_block_key(
+        jnp.concatenate([cb, cxyz], axis=-1), g_out, bg.num_batches
+    ).reshape(-1)
+    cvalid = (
+        jnp.broadcast_to(bg.valid[:, None], (nb, 8)).reshape(-1)
+        & child_m.any(axis=1)
+    )
+    occ = jnp.zeros((bg.num_batches * g_out ** 3,), bool)
+    occ = occ.at[
+        jnp.where(cvalid, ckey, bg.num_batches * g_out ** 3)
+    ].set(True, mode="drop")
+    ocoords, otable, ocount, o_over = _compact_from_occupancy(
+        occ, g_out, nb_cap_out
+    )
+    crow = jnp.where(
+        cvalid, otable[ckey],
+        nb_cap_out + jnp.arange(nb * 8, dtype=jnp.int32),
+    )
+    om = jnp.zeros((nb_cap_out, VOL), bool).at[crow].set(
+        child_m, mode="drop", unique_indices=True
+    )
+    ovalid = jnp.arange(nb_cap_out, dtype=jnp.int32) < ocount
+    om = om & ovalid[:, None]
+    return BlockGrid(
+        coords=ocoords,
+        feats=jnp.zeros((nb_cap_out, VOL, 1), jnp.float32),
+        mask=om, table=otable, count=ocount,
+        dropped=bg.dropped + o_over,
+        stride=bg.stride // 2, res=res_out, num_batches=bg.num_batches,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Top-k occupancy pruning
 # ---------------------------------------------------------------------------
@@ -728,6 +886,8 @@ def topk_mask(
     bg: BlockGrid,
     scores: jax.Array,
     nums: jax.Array,
+    live_mask: Optional[jax.Array] = None,
+    psum_axis: Optional[str] = None,
 ) -> jax.Array:
     """[nb_cap, VOL] bool — per-batch-item top-k over occupied slots.
 
@@ -736,9 +896,17 @@ def topk_mask(
     exact k-th score bit pattern per batch item, then ties at the threshold
     are broken in block-scan order.  k is min(k, available), matching the
     reference.  O(32 * nb * VOL) VPU work, no per-voxel sort.
+
+    live_mask restricts candidates to a subset of occupied slots (e.g. the
+    interior of a spatial shard).  psum_axis makes the top-k GLOBAL across a
+    shard_map mesh axis: every round's candidate count is all-reduced, and
+    threshold ties are ranked in global block-scan order (device order along
+    the axis must follow the spatial sort — x-slabs in axis_index order).
     """
     nbatch = bg.num_batches
     live = bg.mask & bg.valid[:, None]
+    if live_mask is not None:
+        live = live & live_mask
     u = _monotone_bits(scores.reshape(bg.nb_cap, VOL))
     u = jnp.where(live, u, jnp.uint32(0))
     # one-hot batch matrix [nb, B] (block rows are batch-pure)
@@ -753,7 +921,10 @@ def topk_mask(
         ge = (u[:, :, None] >= t[None, None, :]) & live[:, :, None]
         per_block = jnp.sum(ge.astype(jnp.float32), axis=1)  # [nb, B-thresh]
         # route each block's count to its own batch column
-        return jnp.sum(per_block * onehot, axis=0).astype(jnp.int32)
+        c = jnp.sum(per_block * onehot, axis=0).astype(jnp.int32)
+        if psum_axis is not None:
+            c = jax.lax.psum(c, psum_axis)
+        return c
 
     def body(i, t):
         bit = jnp.uint32(1) << jnp.uint32(31 - i)
@@ -770,6 +941,23 @@ def topk_mask(
     n_gt = jnp.sum(
         jnp.sum(gt.astype(jnp.float32), axis=1)[:, None] * onehot, axis=0
     ).astype(jnp.int32)
+    tie_prefix = jnp.zeros((nbatch,), jnp.int32)
+    if psum_axis is not None:
+        n_gt = jax.lax.psum(n_gt, psum_axis)
+        # global tie ranking: ties on lower-x devices come first (device
+        # order along the axis follows the spatial sort)
+        n_eq = jnp.sum(
+            jnp.sum(eq.astype(jnp.float32), axis=1)[:, None] * onehot,
+            axis=0,
+        ).astype(jnp.int32)
+        all_eq = jax.lax.all_gather(n_eq, psum_axis)  # [n_dev, B]
+        me = jax.lax.axis_index(psum_axis)
+        before = (
+            jnp.arange(all_eq.shape[0], dtype=jnp.int32) < me
+        )
+        tie_prefix = jnp.sum(
+            all_eq * before[:, None].astype(jnp.int32), axis=0
+        )
     quota = jnp.maximum(k - n_gt, 0)  # ties to admit per batch
     # per-batch running rank of ties in block-scan order (blocks sorted by
     # batch, so each batch's ties are contiguous across rows)
@@ -783,6 +971,7 @@ def topk_mask(
     )
     base = jnp.concatenate([jnp.zeros((1,), jnp.int32), csum])[starts]
     rank = csum - 1 - base[jnp.clip(row_b, 0, nbatch - 1)]
+    rank = rank + tie_prefix[jnp.clip(row_b, 0, nbatch - 1)]
     admit = flat_eq & (
         rank < quota[jnp.clip(row_b, 0, nbatch - 1)]
     )
@@ -800,6 +989,22 @@ def prune(bg: BlockGrid, keep: jax.Array) -> BlockGrid:
     """
     m = bg.mask & keep
     return bg.replace(mask=m, feats=jnp.where(m[:, :, None], bg.feats, 0))
+
+
+def compact_where(
+    bg: BlockGrid, block_keep: jax.Array, nb_cap_out: int
+) -> BlockGrid:
+    """Restrict to blocks where `block_keep` [nb_cap] holds, then compact.
+
+    The slab-decomposition primitive: selecting an x-range of blocks (plus
+    a 1-block halo) yields a small sub-grid that shares the full grid's
+    coordinate space (res/table dims unchanged — the dense table is cheap at
+    BS=16; features are the memory hog, and the sub-grid holds only the
+    slab's).  Used by the streamed single-chip decode of large frames and
+    the multi-chip spatial decode (SURVEY §2c).
+    """
+    m = bg.mask & (block_keep & bg.valid)[:, None]
+    return compact(bg.replace(mask=m), nb_cap_out)
 
 
 def compact(bg: BlockGrid, nb_cap_out: int) -> BlockGrid:

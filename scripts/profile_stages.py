@@ -31,12 +31,19 @@ def timed(label, fn, *args, reps=3):
 
 
 def main():
+    from pcgcv2_tpu.cache import enable_persistent_cache
     from pcgcv2_tpu.config import BlockPlan
     from pcgcv2_tpu.data.synthetic import torus_cloud
     from pcgcv2_tpu.data.voxelize import collate
     from pcgcv2_tpu.ops import blocks as B
 
-    print("devices:", jax.devices())
+    enable_persistent_cache(jax)
+    import os
+
+    if os.environ.get("BENCH_DTYPE"):
+        B.set_compute_dtype(os.environ["BENCH_DTYPE"])
+    print("devices:", jax.devices(), "BS:", B.BS,
+          "dtype:", B.COMPUTE_DTYPE)
     cloud = torus_cloud(684, density=4.0, seed=0)
     n = len(cloud)
     print(f"cloud: {n} voxels @ res 1024")

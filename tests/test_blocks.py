@@ -218,11 +218,12 @@ def test_overflow_detection(rng):
     """Capacity overflow must be counted in `dropped`, never corrupt the
     reserved all-zero miss row, and never be silent (VERDICT missing #5)."""
     n = 300
-    coords = rand_cloud(rng, n, 32)
+    res = 4 * B.BS  # 64 block cells — enough spread to overflow 8 rows
+    coords = rand_cloud(rng, n, res)
     feats = rng.randn(n, 2).astype(np.float32)
     full = B.blockify(
         jnp.asarray(coords), jnp.asarray(feats), jnp.ones((n,), bool),
-        256, stride=1, res=32, num_batches=1,
+        256, stride=1, res=res, num_batches=1,
     )
     assert int(full.dropped) == 0
     n_blocks = int(full.count)
@@ -231,7 +232,7 @@ def test_overflow_detection(rng):
     # undersized: only nb_cap - 1 = 7 usable rows
     tiny = B.blockify(
         jnp.asarray(coords), jnp.asarray(feats), jnp.ones((n,), bool),
-        8, stride=1, res=32, num_batches=1,
+        8, stride=1, res=res, num_batches=1,
     )
     assert int(tiny.dropped) == n_blocks - 7
     # the reserved miss row stays all-zero: feats, mask, coords
@@ -250,9 +251,11 @@ def test_overflow_detection(rng):
 
 
 def test_table_size_guard():
-    """Unscaled vox12-class grids must raise, not OOM (VERDICT weak #8)."""
+    """Over-budget dense tables must raise, not OOM (VERDICT weak #8)."""
+    g = B.grid_dim(4096)
+    over = B.MAX_TABLE_CELLS // g ** 3 + 1  # first batch count past budget
     with pytest.raises(ValueError, match="scaling_factor"):
-        B.check_table_size(4096, num_batches=8)
+        B.check_table_size(4096, num_batches=over)
     B.check_table_size(4096, num_batches=1)  # single frame fits
     B.check_table_size(1024, num_batches=8)
 

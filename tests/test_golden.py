@@ -1,0 +1,40 @@
+"""Golden RD regression: a committed checkpoint on a deterministic frame
+must reproduce the committed bpp within 1% and D1 PSNR within 0.05 dB
+(SURVEY §4; VERDICT r2 missing #5).  Regenerate with
+scripts/make_golden.py after intentional codec/model changes."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "golden")
+CKPT = os.path.join(GOLDEN_DIR, "golden.ckpt")
+EXPECTED = os.path.join(GOLDEN_DIR, "expected.json")
+
+pytestmark = pytest.mark.skipif(
+    not (os.path.exists(CKPT) and os.path.exists(EXPECTED)),
+    reason="golden files not generated (scripts/make_golden.py)",
+)
+
+
+@pytest.mark.slow
+def test_golden_rd_replay(tmp_path):
+    import sys
+
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(__file__), "..", "scripts")
+    )
+    from make_golden import run_codec
+
+    with open(EXPECTED) as f:
+        exp = json.load(f)
+    got = run_codec(CKPT, str(tmp_path))
+    assert got["n_points"] == exp["n_points"]
+    assert got["bpp"] == pytest.approx(exp["bpp"], rel=0.01), (
+        f"bpp regressed: {got['bpp']} vs golden {exp['bpp']}"
+    )
+    assert abs(got["d1_psnr"] - exp["d1_psnr"]) <= 0.05, (
+        f"D1 regressed: {got['d1_psnr']} vs golden {exp['d1_psnr']}"
+    )

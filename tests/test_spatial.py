@@ -1,0 +1,134 @@
+"""Streamed (single-chip) and spatially-sharded (multi-chip) decode must
+reproduce the monolithic decoder's output (SURVEY §2c; VERDICT r2 missing
+#3/#4).  Runs on the virtual 8-device CPU mesh from conftest."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pcgcv2_tpu.config import BlockPlan, ModelConfig
+from pcgcv2_tpu.data.synthetic import sphere_cloud
+from pcgcv2_tpu.data.voxelize import collate
+from pcgcv2_tpu.models import PCCModel
+from pcgcv2_tpu.ops import blocks as B
+
+
+RES = 64
+PLAN = BlockPlan(res=RES, nb=(256, 128, 64, 64))
+CFG = ModelConfig(
+    enc_channels=(1, 8, 16, 16, 16, 8),
+    dec_channels=(8, 16, 16, 8),
+    blocks_per_scale=1,
+)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cloud = sphere_cloud(24, density=1.5, seed=3)
+    coords, valid = collate([cloud], capacity=8192)
+    model = PCCModel(config=CFG, plan=PLAN, num_batches=1)
+    params = model.init(
+        {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)},
+        coords, valid, True,
+    )
+    # encode to a bottleneck, then round features like the codec does
+    y, nums, n_in = model.apply(
+        params, coords, valid, method=PCCModel.encode_fn
+    )
+    yc, yf, ny = B.extract(y, 4096)
+    ny = int(ny)
+    rows = np.zeros((4096, 4), np.int32)
+    rows[:ny] = np.asarray(yc)[:ny]
+    feats = np.zeros((4096, 8), np.float32)
+    feats[:ny] = np.round(np.asarray(yf)[:ny])
+    valid_y = np.arange(4096) < ny
+    nums_arr = jnp.asarray(np.concatenate([np.asarray(v) for v in nums]))
+    return model, params, rows, feats, valid_y, nums_arr
+
+
+def _monolithic(model, params, rows, feats, valid_y, nums):
+    y = B.blockify(
+        jnp.asarray(rows), jnp.asarray(feats), jnp.asarray(valid_y),
+        PLAN.nb[3], stride=8, res=RES // 8, num_batches=1,
+    )
+    out = model.apply(
+        params, y, [nums[0:1], nums[1:2], nums[2:3]],
+        method=PCCModel.decode_fn,
+    )
+    oc, _, cnt = B.extract(out, 8192, with_feats=False)
+    return np.asarray(oc)[: int(cnt), 1:]
+
+
+def _streamed(model, params, rows, feats, valid_y, nums, n_slabs):
+    """Mirror of codec.coder._decode_streamed_fn at test scale."""
+    y = B.blockify(
+        jnp.asarray(rows), jnp.asarray(feats), jnp.asarray(valid_y),
+        PLAN.nb[3], stride=8, res=RES // 8, num_batches=1,
+    )
+    out = model.apply(
+        params, y, [nums[0:1], nums[1:2]], method=PCCModel.decode_coarse_fn
+    )
+    cand_cap = PLAN.up_cap(2)
+    cand = B.conv_up_structure(out, cand_cap)
+    g_in = B.grid_dim(out.res)
+    logits = jnp.zeros((cand_cap, B.VOL), jnp.float32)
+    for i in range(n_slabs):
+        ia, ib = i * g_in // n_slabs, (i + 1) * g_in // n_slabs
+        bx = out.coords[:, 1]
+        sub = B.compact_where(
+            out, (bx >= ia - 1) & (bx < ib + 1), PLAN.dec_nb[1]
+        )
+        sub_cls = model.apply(
+            params, sub, PLAN.up_cap(2), method=PCCModel.decode_stage2_fn
+        )
+        cx = sub_cls.coords[:, 1]
+        interior = (cx >= 2 * ia) & (cx < 2 * ib) & sub_cls.valid
+        key = B._flat_block_key(sub_cls.coords, cand.G, cand.num_batches)
+        grow = jnp.where(
+            interior, cand.table[key],
+            cand_cap + jnp.arange(sub_cls.nb_cap, dtype=jnp.int32),
+        )
+        logits = logits.at[grow].set(
+            sub_cls.feats[:, :, 0].astype(jnp.float32),
+            mode="drop", unique_indices=True,
+        )
+    keep = B.topk_mask(cand, logits, nums[2:3])
+    oc, _, cnt = B.extract(B.prune(cand, keep), 8192, with_feats=False)
+    return np.asarray(oc)[: int(cnt), 1:]
+
+
+def _as_set(a):
+    return set(map(tuple, np.asarray(a).tolist()))
+
+
+def test_streamed_equals_monolithic(setup):
+    model, params, rows, feats, valid_y, nums = setup
+    ref = _monolithic(model, params, rows, feats, valid_y, nums)
+    got = _streamed(model, params, rows, feats, valid_y, nums, n_slabs=3)
+    assert len(ref) == len(got)
+    assert _as_set(ref) == _as_set(got)
+
+
+def test_spatial_sharded_equals_monolithic(setup):
+    from pcgcv2_tpu.parallel.mesh import make_mesh
+    from pcgcv2_tpu.parallel.spatial import (
+        SP_AXIS,
+        assemble_decoded,
+        make_spatial_decode_fn,
+    )
+
+    model, params, rows, feats, valid_y, nums = setup
+    ref = _monolithic(model, params, rows, feats, valid_y, nums)
+
+    n_dev = 8
+    mesh = make_mesh(n_dev, SP_AXIS)
+    fn = make_spatial_decode_fn(model, PLAN, mesh, out_cap=8192)
+    oc, counts, dropped = fn(
+        params, jnp.asarray(rows), jnp.asarray(feats),
+        jnp.asarray(valid_y), nums,
+    )
+    assert int(dropped) == 0
+    got = assemble_decoded(oc, counts, n_dev)
+    assert len(ref) == len(got)
+    assert _as_set(ref) == _as_set(got)
