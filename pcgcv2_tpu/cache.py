@@ -15,8 +15,18 @@ import platform
 
 
 def machine_fingerprint() -> str:
-    """Short stable hash of the CPU identity (flags + model + arch)."""
+    """Short stable hash of the CPU identity (flags + model + arch) plus the
+    jaxlib build.  The jaxlib component matters: XLA:CPU AOT entries encode
+    tuning pseudo-features (+prefer-no-scatter, ...) that other jaxlib
+    builds reject with machine-feature-mismatch errors (and can SIGILL), so
+    two builds must never share a directory even on identical CPUs."""
     bits = [platform.machine(), platform.processor()]
+    try:
+        import jaxlib
+
+        bits.append(getattr(jaxlib, "__version__", "?"))
+    except ImportError:
+        pass
     try:
         with open("/proc/cpuinfo") as f:
             seen = set()

@@ -126,26 +126,32 @@ def run_sweep(filedir, ckptdir_list, outdir, resultdir,
 
 
 def plot_rd(results, filedir, resultdir):
+    """Rate-distortion curve image next to the CSV (one line per distortion
+    metric present).  Output name matches the reference harness convention
+    (<sequence>.jpg in the result dir) so downstream tooling finds it."""
     import matplotlib
 
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
-    fig, ax = plt.subplots(figsize=(7, 4))
-    plt.plot(np.array(results["bpp"]),
-             np.array(results["mseF,PSNR (p2point)"]),
-             label="D1", marker="x", color="red")
-    if "mseF,PSNR (p2plane)" in results:
-        plt.plot(np.array(results["bpp"]),
-                 np.array(results["mseF,PSNR (p2plane)"]),
-                 label="D2", marker="x", color="blue")
-    name = os.path.split(filedir)[-1][:-4]
-    plt.title(name)
-    plt.xlabel("bpp")
-    plt.ylabel("PSNR")
-    plt.grid(ls="-.")
-    plt.legend(loc="lower right")
-    fig.savefig(os.path.join(resultdir, name + ".jpg"))
+    name = os.path.splitext(os.path.basename(filedir))[0]
+    rate = np.asarray(results["bpp"], dtype=float)
+    curves = [
+        ("mseF,PSNR (p2point)", "D1"),
+        ("mseF,PSNR (p2plane)", "D2"),
+    ]
+    fig, ax = plt.subplots()
+    for column, label in curves:
+        if column not in results:
+            continue
+        ax.plot(rate, np.asarray(results[column], dtype=float),
+                marker="o", label=label)
+    ax.set(title=name, xlabel="bpp", ylabel="PSNR (dB)")
+    ax.grid(alpha=0.4)
+    ax.legend()
+    fig.tight_layout()
+    fig.savefig(os.path.join(resultdir, name + ".jpg"), dpi=120)
+    plt.close(fig)
 
 
 def main(argv=None):

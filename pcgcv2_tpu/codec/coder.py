@@ -40,6 +40,7 @@ import numpy as np
 from pcgcv2_tpu.codec import gpcc, native, octree
 from pcgcv2_tpu.config import BlockPlan, ModelConfig
 from pcgcv2_tpu.data import io as pcio
+from pcgcv2_tpu.data.voxelize import unique_rows
 from pcgcv2_tpu.models.entropy import EntropyBottleneck
 from pcgcv2_tpu.models.pcc import PCCModel
 from pcgcv2_tpu.ops import blocks as B
@@ -121,7 +122,7 @@ class CoordinateCoder:
         path = self.filename + postfix + "_C.bin"
         with open(path, "rb") as f:
             head = f.read(4)
-        if head in (octree.MAGIC, octree.MAGIC2):
+        if head in (octree.MAGIC, octree.MAGIC2, octree.MAGIC3):
             with open(path, "rb") as f:
                 return octree.decode(f.read())
         ply = path + ".tmp.ply"
@@ -377,7 +378,11 @@ class Coder:
         cap = _bucket(n_points, self.input_granularity)
         plan = BlockPlan.for_cloud(cap, self.res)
         if self.up_factors is not None:
-            plan = dataclasses.replace(plan, up_factors=self.up_factors)
+            # explicit factors take over: drop the absolute candidate caps
+            # so factor * coarser-cap sizing applies again
+            plan = dataclasses.replace(
+                plan, up_factors=self.up_factors, up_caps=()
+            )
         if self.dec_nb is not None:
             plan = dataclasses.replace(plan, dec_nb=self.dec_nb)
         return plan
@@ -391,7 +396,7 @@ class Coder:
         [ny, C]) in canonical order — the exact rows the decoder must
         reproduce (for round-trip tests).
         """
-        coords = np.unique(np.asarray(coords, dtype=np.int32), axis=0)
+        coords = unique_rows(coords)  # canonical sorted-unique input rows
         n = len(coords)
         plan = self._plan_for(n)
         cap = _bucket(n, self.input_granularity)

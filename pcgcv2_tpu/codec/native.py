@@ -84,6 +84,20 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.c_void_p, u32p, ctypes.c_long, u8p,
         ]
         lib.abc_dec_free.argtypes = [ctypes.c_void_p]
+        lib.oct_enc_new.restype = ctypes.c_void_p
+        lib.oct_enc_new.argtypes = []
+        lib.oct_enc_level.argtypes = [
+            ctypes.c_void_p, u8p, i32p, u8p, ctypes.c_long,
+        ]
+        lib.oct_enc_finish.restype = ctypes.c_long
+        lib.oct_enc_finish.argtypes = [ctypes.c_void_p, u8p, ctypes.c_long]
+        lib.oct_enc_free.argtypes = [ctypes.c_void_p]
+        lib.oct_dec_new.restype = ctypes.c_void_p
+        lib.oct_dec_new.argtypes = [u8p, ctypes.c_long]
+        lib.oct_dec_level.argtypes = [
+            ctypes.c_void_p, i32p, u8p, ctypes.c_long, u8p,
+        ]
+        lib.oct_dec_free.argtypes = [ctypes.c_void_p]
         _lib = lib
         return _lib
 
@@ -249,6 +263,65 @@ class AdaptiveByteEncoder:
         self._lib.abc_enc_free(self._h)
         self._h = None
         return out[:n].tobytes()
+
+
+class OctreeGeoEncoder:
+    """Geometric-context octree occupancy encoder (stream v4).  Per level,
+    the caller supplies each node's occupancy byte and the in-level index
+    of its -x/-y/-z face-neighbor node (or -1); contexts are built inside
+    the C loop from causally-decoded neighbor bytes (native/coding.cpp
+    oct_enc_level)."""
+
+    def __init__(self):
+        lib = _load()
+        if lib is None:
+            raise RuntimeError("native coding library unavailable")
+        self._lib = lib
+        self._h = lib.oct_enc_new()
+
+    def write_level(self, occ: np.ndarray, nbr: np.ndarray,
+                    plus_cnt: np.ndarray):
+        occ = np.ascontiguousarray(occ, dtype=np.uint8)
+        nbr = np.ascontiguousarray(nbr, dtype=np.int32)
+        plus_cnt = np.ascontiguousarray(plus_cnt, dtype=np.uint8)
+        assert nbr.shape == (len(occ), 3) and len(plus_cnt) == len(occ)
+        self._lib.oct_enc_level(
+            self._h, _u8(occ), _i32(nbr), _u8(plus_cnt), len(occ)
+        )
+
+    def finish(self) -> bytes:
+        cap = 16 << 20
+        out = np.empty(cap, dtype=np.uint8)
+        n = self._lib.oct_enc_finish(self._h, _u8(out), cap)
+        if n < 0:
+            raise ValueError("oct_enc_finish overflow")
+        self._lib.oct_enc_free(self._h)
+        self._h = None
+        return out[:n].tobytes()
+
+
+class OctreeGeoDecoder:
+    def __init__(self, data: bytes):
+        lib = _load()
+        if lib is None:
+            raise RuntimeError("native coding library unavailable")
+        self._lib = lib
+        self._buf = np.frombuffer(data, dtype=np.uint8)
+        self._h = lib.oct_dec_new(_u8(self._buf), len(self._buf))
+
+    def read_level(self, nbr: np.ndarray, plus_cnt: np.ndarray) -> np.ndarray:
+        nbr = np.ascontiguousarray(nbr, dtype=np.int32)
+        plus_cnt = np.ascontiguousarray(plus_cnt, dtype=np.uint8)
+        out = np.empty(len(nbr), dtype=np.uint8)
+        self._lib.oct_dec_level(
+            self._h, _i32(nbr), _u8(plus_cnt), len(nbr), _u8(out)
+        )
+        return out
+
+    def close(self):
+        if self._h is not None:
+            self._lib.oct_dec_free(self._h)
+            self._h = None
 
 
 class AdaptiveByteDecoder:

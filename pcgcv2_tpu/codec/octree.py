@@ -23,10 +23,18 @@ import numpy as np
 
 from pcgcv2_tpu.codec import native
 
-_N_CTX = 257  # 1 root context + 256 parent-byte contexts
+_N_CTX = 257  # v1/v2: 1 root context + 256 parent-byte contexts
 MAGIC = b"PCOC"   # v1: exponential-update probability model
 MAGIC2 = b"PCO2"  # v2: Krichevsky-Trofimov count model (~20% fewer bits
-#                   on per-frame streams; encode default, decode reads both)
+#                   on per-frame streams; decode-supported)
+MAGIC3 = b"PCO3"  # v3 (encode default): geometric contexts — each child bit
+#                   conditioned on its three -axis face-adjacent CELLS
+#                   (sibling bits of the same byte, or the causally-decoded
+#                   byte of the -axis face-neighbor node: -axis neighbors
+#                   always have smaller Morton keys), plus inferred last-bit
+#                   (a node byte is never zero).  G-PCC tmc3's core context
+#                   scheme; the bit loop lives in native/coding.cpp
+#                   (oct_enc_level/oct_dec_level).
 
 
 def _part1by2(v: np.ndarray) -> np.ndarray:
@@ -86,8 +94,38 @@ def _build_levels(leaf_keys: np.ndarray, depth: int):
     return levels
 
 
-def encode(coords: np.ndarray, model: int = 1) -> bytes:
-    """Losslessly encode unique non-negative int coordinates [N, 3]."""
+def _face_nbr_ctx(nodes: np.ndarray):
+    """(nbr [n,3] int32, plus_cnt [n] uint8): index (within `nodes`, sorted
+    Morton keys) of each node's -x/-y/-z face neighbor or -1, and the count
+    of existing +axis face neighbors.  The Morton key is monotone per
+    coordinate, so every -axis hit has a smaller index than the node itself
+    — the causality the v3 bit contexts rely on; +axis neighbors are
+    non-causal so only their (known) existence is used."""
+    c = morton_decode(nodes).astype(np.int64)
+    nbr = np.full((len(nodes), 3), -1, dtype=np.int32)
+    plus = np.zeros(len(nodes), dtype=np.uint8)
+    for axis in range(3):
+        for step in (-1, 1):
+            nc = c.copy()
+            nc[:, axis] += step
+            ok = nc[:, axis] >= 0
+            nk = morton_encode(np.maximum(nc, 0))
+            idx = np.searchsorted(nodes, nk)
+            idx = np.minimum(idx, len(nodes) - 1)
+            hit = ok & (nodes[idx] == nk)
+            if step < 0:
+                nbr[:, axis] = np.where(hit, idx, -1)
+            else:
+                plus += hit.astype(np.uint8)
+    return nbr, plus
+
+
+def encode(coords: np.ndarray, model: int = 2) -> bytes:
+    """Losslessly encode unique non-negative int coordinates [N, 3].
+
+    model: 0 = v1 (exp-update probs), 1 = v2 (KT counts, parent-byte
+    context), 2 = v3 (geometric bit contexts — default).
+    """
     assert coords.ndim == 2 and coords.shape[1] == 3
     assert (coords >= 0).all(), "octree codec needs non-negative coords"
     keys = np.unique(morton_encode(coords))
@@ -96,36 +134,60 @@ def encode(coords: np.ndarray, model: int = 1) -> bytes:
     depth = max(1, max_c.bit_length())
 
     levels = _build_levels(keys, depth)
-    enc = native.AdaptiveByteEncoder(_N_CTX, model=model)
-    for d, (nodes, occ) in enumerate(levels):
-        if d == 0:
-            ctx = np.zeros(len(occ), dtype=np.uint32)
-        else:
-            pnodes, pocc = levels[d - 1]
-            pidx = np.searchsorted(pnodes, nodes >> np.uint64(3))
-            ctx = 1 + pocc[pidx].astype(np.uint32)
-        enc.write(occ, ctx)
-    payload = enc.finish()
-    header = (MAGIC2 if model == 1 else MAGIC) + struct.pack("<BI", depth, n)
-    return header + payload
+    if model == 2:
+        genc = native.OctreeGeoEncoder()
+        for nodes, occ in levels:
+            genc.write_level(occ, *_face_nbr_ctx(nodes))
+        payload = genc.finish()
+    else:
+        enc = native.AdaptiveByteEncoder(_N_CTX, model=model)
+        for d, (nodes, occ) in enumerate(levels):
+            if d == 0:
+                ctx = np.zeros(len(occ), dtype=np.uint32)
+            else:
+                pnodes, pocc = levels[d - 1]
+                pidx = np.searchsorted(pnodes, nodes >> np.uint64(3))
+                ctx = 1 + pocc[pidx].astype(np.uint32)
+            enc.write(occ, ctx)
+        payload = enc.finish()
+    magic = {0: MAGIC, 1: MAGIC2, 2: MAGIC3}[model]
+    return magic + struct.pack("<BI", depth, n) + payload
 
 
 def decode(data: bytes) -> np.ndarray:
     """Inverse of `encode`: returns sorted unique [N, 3] int32 coords."""
-    assert data[:4] in (MAGIC, MAGIC2), "bad octree stream"
-    model = 1 if data[:4] == MAGIC2 else 0
+    magic = data[:4]
+    assert magic in (MAGIC, MAGIC2, MAGIC3), "bad octree stream"
+    model = {MAGIC: 0, MAGIC2: 1, MAGIC3: 2}[magic]
     depth, n = struct.unpack("<BI", data[4:9])
-    dec = native.AdaptiveByteDecoder(data[9:], _N_CTX, model=model)
+    if model == 2:
+        dec = native.OctreeGeoDecoder(data[9:])
+
+        def read_level(nodes):
+            return dec.read_level(*_face_nbr_ctx(nodes))
+    else:
+        bdec = native.AdaptiveByteDecoder(data[9:], _N_CTX, model=model)
+        parent_occ_holder = {}
+
+        def read_level(nodes):
+            po = parent_occ_holder.get("po")
+            if po is None:
+                ctx = np.zeros(len(nodes), dtype=np.uint32)
+            else:
+                ctx = 1 + po.astype(np.uint32)
+            return bdec.read(ctx)
+
+        dec = bdec
     nodes = np.zeros(1, dtype=np.uint64)
-    ctx = np.zeros(1, dtype=np.uint32)
-    occ = dec.read(ctx)
+    occ = read_level(nodes)
     for _ in range(depth - 1):
         bits = ((occ[:, None] >> np.arange(8, dtype=np.uint8)) & 1).astype(bool)
         child = (nodes[:, None] * np.uint64(8) + np.arange(8, dtype=np.uint64))[
             bits
         ]
-        ctx = 1 + np.repeat(occ, bits.sum(axis=1)).astype(np.uint32)
-        occ = dec.read(ctx)
+        if model != 2:
+            parent_occ_holder["po"] = np.repeat(occ, bits.sum(axis=1))
+        occ = read_level(child)
         nodes = child
     # final level: expand leaves
     bits = ((occ[:, None] >> np.arange(8, dtype=np.uint8)) & 1).astype(bool)

@@ -103,6 +103,14 @@ class BlockPlan:
     # path (for_cloud) uses tighter factors — overflow is detected at
     # runtime (BlockGrid.dropped) and raises rather than corrupting.
     up_factors: Tuple[int, int, int] = (8, 8, 8)
+    # Absolute pre-prune caps per decoder stage; when set they override the
+    # factor logic.  for_cloud ties them to the FINER scale's nb instead of
+    # factor x the coarser stage's cap: candidate blocks are the children
+    # blocks of the coarser survivors, i.e. ~1.1x the finer scale's true
+    # occupied blocks (measured 4800 candidates vs 12288 factor-derived cap
+    # on an 858k-pt vox10 frame — compounding slack the factor form can't
+    # avoid).  Decode FLOPs scale with these caps.
+    up_caps: Tuple[int, int, int] = ()
 
     def __post_init__(self):
         if not self.dec_nb:
@@ -123,7 +131,12 @@ class BlockPlan:
         """Plan for a frame of ~n_points voxels at `res` (codec path)."""
         nb0 = max(round_to, _round_up(
             int(n_points * blocks_per_point * slack), round_to))
-        ratios = (1.0, 0.35, 0.15, 0.08)
+        # Surface content measured at block side 16 (vox10/vox11 torus and
+        # random-surface frames): per-stride occupied-block ratios
+        # (1, 0.25, 0.065, 0.017) — each coordinate halving quarters a
+        # 2-D surface's block count.  Margins widen toward the coarse end
+        # where blocks are cheap.
+        ratios = (1.0, 0.28, 0.09, 0.035)
 
         def cells(s):  # worst-case occupied blocks at scale s (batch 1)
             g = max(1, -(-max(1, res >> s) // _BS))
@@ -134,16 +147,23 @@ class BlockPlan:
                 max(round_to, _round_up(int(nb0 * r), round_to)))
             for s, r in enumerate(ratios)
         )
-        # Tight decode-side capacities: surfaces spawn ~4 occupied child
-        # blocks per parent (8 is the static worst case) and post-prune
-        # block counts track the encoder's per-scale counts, so candidate
-        # factors (6,4,3) and post-prune caps of 1.5x the encoder caps fit
-        # vox12-at-sf0.375 decode in one v5e's HBM.  Runtime overflow
-        # detection raises rather than corrupting if content is denser.
+        # Decode-side capacities.  Post-prune caps (dec_nb) and pre-prune
+        # candidate caps (up_caps) both track the FINER scale's nb: decoder
+        # survivors mirror the encoder's per-scale footprint, and stage-s
+        # candidates are the children blocks of the coarser survivors
+        # (~1.1x the finer scale's true blocks).  Runtime overflow
+        # detection raises rather than corrupting if content is denser;
+        # Coder accepts per-instance overrides to recover.
         dec_nb = tuple(
-            _round_up(int(1.3 * nb[i]) + 1, round_to) for i in (2, 1, 0)
+            min(cells(i),
+                _round_up(int(1.3 * nb[i]) + 1, round_to)) for i in (2, 1, 0)
         )
-        return cls(res=res, nb=nb, dec_nb=dec_nb, up_factors=(5, 4, 3))
+        up_caps = tuple(
+            min(cells(i),
+                _round_up(int(1.35 * nb[i]) + 1, round_to)) for i in (2, 1, 0)
+        )
+        return cls(res=res, nb=nb, dec_nb=dec_nb, up_factors=(5, 4, 3),
+                   up_caps=up_caps)
 
     @classmethod
     def for_training(
@@ -182,6 +202,8 @@ class BlockPlan:
 
     def up_cap(self, stage: int) -> int:
         """Pre-prune cap for decoder stage `stage` (0 = stride 8 -> 4)."""
+        if self.up_caps:
+            return self.up_caps[stage]
         prev = self.nb[3] if stage == 0 else self.dec_nb[stage - 1]
         return self.up_factors[stage] * prev
 

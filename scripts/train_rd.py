@@ -33,9 +33,16 @@ def parse_args(argv=None):
     p.add_argument("--batch_capacity", type=int, default=524288)
     p.add_argument("--lr", type=float, default=8e-4)
     p.add_argument("--points", nargs="+", default=["r1:0.5", "r2:2", "r3:8"],
-                   help="rate points as name:alpha[:init_ckpt] (beta=1)")
+                   help="rate points as name:alpha[:init_ckpt[:lr[:epochs]]] "
+                        "(beta=1; empty init_ckpt trains from scratch; lr/"
+                        "epochs default to the global flags) — later points "
+                        "can warm-start from an earlier point's final ckpt")
     p.add_argument("--ckptroot", default="./ckpts")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--mode", choices=("scan", "loop"), default="loop",
+                   help="epoch execution: one lax.scan dispatch, or a "
+                        "device-resident per-step loop (both: one upload + "
+                        "one fetch per epoch)")
     return p.parse_args(argv)
 
 
@@ -71,10 +78,13 @@ def main(argv=None):
         parts = point.split(":")
         name, alpha_s = parts[0], parts[1]
         init_ckpt = parts[2] if len(parts) > 2 else ""
+        lr = float(parts[3]) if len(parts) > 3 and parts[3] else args.lr
+        epochs = (int(parts[4]) if len(parts) > 4 and parts[4]
+                  else args.epochs)
         alpha = float(alpha_s)
         cfg = TrainConfig(
-            alpha=alpha, beta=1.0, lr=args.lr,
-            batch_size=args.batch_size, epochs=args.epochs,
+            alpha=alpha, beta=1.0, lr=lr,
+            batch_size=args.batch_size, epochs=epochs,
             check_time=30.0,
         )
         ckptdir = os.path.join(args.ckptroot, name)
@@ -83,11 +93,14 @@ def main(argv=None):
             logdir=os.path.join("./logs", name), ckptdir=ckptdir,
             init_ckpt=init_ckpt, seed=args.seed,
         )
-        tr.logger.info(f"=== rate point {name}: alpha={alpha} beta=1 ===")
+        tr.logger.info(
+            f"=== rate point {name}: alpha={alpha} beta=1 lr={lr} "
+            f"epochs={epochs} init={init_ckpt or 'scratch'} ==="
+        )
         import numpy as np
 
         rng = np.random.RandomState(args.seed)
-        for epoch in range(args.epochs):
+        for epoch in range(epochs):
             order = rng.permutation(len(train_clouds))
             batches = [
                 [train_clouds[j] for j in order[i:i + args.batch_size]]
@@ -95,7 +108,7 @@ def main(argv=None):
                                args.batch_size)
             ]
             t0 = time.time()
-            tr.train(batches)
+            tr.train_scanned(batches, mode=args.mode)
             tr.logger.info(
                 f"epoch {epoch} took {time.time() - t0:.0f}s"
             )
@@ -103,7 +116,7 @@ def main(argv=None):
                 test_clouds[i:i + args.batch_size]
                 for i in range(0, len(test_clouds), args.batch_size)
             ]
-            tr.test(test_batches)
+            tr.test_scanned(test_batches)
         final = tr.save_model(f"{name}_final.ckpt")
         tr.logger.info(f"saved {final}")
         print(f"[{name}] done -> {final}", flush=True)

@@ -5,6 +5,8 @@ import pytest
 
 from pcgcv2_tpu.codec import native, octree
 
+pytestmark = pytest.mark.fast  # no full-model compiles
+
 
 def test_native_builds():
     assert native.available(), "g++ build of libpcgc_coding.so failed"
@@ -59,17 +61,34 @@ def test_morton_roundtrip(rng):
     np.testing.assert_array_equal(back, coords)
 
 
+@pytest.mark.parametrize("model", [0, 1, 2])
 @pytest.mark.parametrize("span", [1, 15, 100, 1023])
-def test_octree_roundtrip(rng, span):
+def test_octree_roundtrip(rng, span, model):
     coords = np.unique(
         rng.randint(0, span + 1, size=(2000, 3)).astype(np.int32), axis=0
     )
-    blob = octree.encode(coords)
+    blob = octree.encode(coords, model=model)
     out = octree.decode(blob)
     want = coords[np.lexsort((coords[:, 2], coords[:, 1], coords[:, 0]))]
     # octree output is sorted in Morton order; compare as sets
     assert {tuple(r) for r in out} == {tuple(r) for r in want}
     assert len(out) == len(want)
+
+
+def test_octree_v3_beats_v2_on_surfaces():
+    """The geometric bit contexts (v3, tmc3-style) must out-compress the
+    parent-byte contexts (v2) on surface content — the operating regime of
+    the coordinate base layer (bottleneck coords at stride 8)."""
+    from pcgcv2_tpu.data.synthetic import torus_cloud
+
+    bn = np.unique(torus_cloud(170, density=4.0, seed=0) // 8, axis=0)
+    b2 = octree.encode(bn.astype(np.int32), model=1)
+    b3 = octree.encode(bn.astype(np.int32), model=2)
+    assert len(b3) < len(b2), (len(b3), len(b2))
+    # and both stream versions still decode
+    for blob in (b2, b3):
+        out = octree.decode(blob)
+        assert {tuple(r) for r in out} == {tuple(r) for r in bn}
 
 
 def test_octree_surface_compression_rate():

@@ -1,8 +1,11 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from pcgcv2_tpu.models.entropy import (
+
+pytestmark = pytest.mark.fast  # no full-model compiles
     EntropyBottleneck,
     lower_bound,
     round_ste,

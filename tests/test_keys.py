@@ -1,7 +1,10 @@
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from pcgcv2_tpu.ops import keys as K
+
+pytestmark = pytest.mark.fast  # no full-model compiles
 
 
 def random_coords(rng, n, batches=3, span=1000):

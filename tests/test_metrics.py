@@ -14,6 +14,8 @@ from pcgcv2_tpu.data.synthetic import sphere_cloud
 from pcgcv2_tpu.eval.metrics import pc_metrics
 from pcgcv2_tpu.eval.pc_error import find_pc_error, pc_error
 
+pytestmark = pytest.mark.fast  # no full-model compiles
+
 
 def _distorted_pair():
     rng = np.random.RandomState(0)
