@@ -74,17 +74,31 @@ def main() -> None:
     n = len(cloud)
     print(f"# bench cloud: {n} voxels @ res 1024", file=sys.stderr)
 
-    # init params at a small plan (weights are shape-independent of the plan)
-    from pcgcv2_tpu.data.synthetic import sphere_cloud
+    # Trained checkpoint when available (the steady-state encode cost
+    # depends on the trained feature symbol range through the rANS pmf
+    # grid); init fallback keeps the bench self-contained.
+    params = None
+    for ck in ("ckpts/r4/r4_final.ckpt", "ckpts/r3/r3_final.ckpt",
+               "ckpts/r7/r7_final.ckpt"):
+        if os.path.exists(ck):
+            from pcgcv2_tpu.train.trainer import load_params
 
-    small = sphere_cloud(48, density=1.0, seed=1)
-    coords, valid = collate([small], capacity=8192)
-    model = PCCModel(plan=BlockPlan(res=64, nb=(512, 256, 128, 64)),
-                     num_batches=1)
-    params = model.init(
-        {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)},
-        coords, valid, True,
-    )
+            params = load_params(ck)
+            print(f"# bench params: {ck}", file=sys.stderr)
+            break
+    if params is None:
+        from pcgcv2_tpu.data.synthetic import sphere_cloud
+
+        small = sphere_cloud(48, density=1.0, seed=1)
+        coords, valid = collate([small], capacity=8192)
+        model = PCCModel(plan=BlockPlan(res=64, nb=(512, 256, 128, 64)),
+                         num_batches=1)
+        params = model.init(
+            {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)},
+            coords, valid, True,
+        )
+        print("# bench params: random init (no checkpoint found)",
+              file=sys.stderr)
 
     import tempfile
 

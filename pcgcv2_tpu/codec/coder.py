@@ -298,7 +298,9 @@ class Coder:
         # generous per-slab caps: equal x-ranges are density-imbalanced on
         # real content, so budget ~4x the mean (+1 halo share); overflow is
         # detected (dropped counter) and raises rather than corrupting.
-        sub_in_cap = max(1024, plan.dec_nb[1] * 4 // n_slabs)
+        # Floors scale with the plan (a fixed 1024-block floor is 4.2M
+        # slots at BS=16 — pathological for small frames).
+        sub_in_cap = max(32, plan.dec_nb[1] * 4 // n_slabs)
         sub_cand_cap = plan.up_factors[2] * sub_in_cap
 
         @jax.jit

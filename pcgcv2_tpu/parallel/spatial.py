@@ -65,8 +65,11 @@ def make_spatial_decode_fn(
     n_dev = mesh.shape[axis]
     nb3 = plan.nb[3]
     res_y = max(1, plan.res // 8)
-    local_cap = max(1024, -(-out_cap // n_dev) * 4)
-    sub_in_cap = max(1024, plan.dec_nb[1] * 4 // n_dev)
+    # Per-device slab capacities scale with the plan, not fixed floors: a
+    # 1024-block floor is 4.2M slots PER DEVICE at BS=16 — ~50 GB across an
+    # 8-device CPU test mesh for a toy frame (the round-3 suite abort).
+    local_cap = max(256, -(-out_cap // n_dev) * 4)
+    sub_in_cap = max(32, plan.dec_nb[1] * 4 // n_dev)
     sub_cand_cap = plan.up_factors[2] * sub_in_cap
 
     def local_fn(params, rows, feats, valid, nums):

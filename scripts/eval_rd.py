@@ -34,6 +34,11 @@ def parse_args(argv=None):
 
 def main(argv=None):
     args = parse_args(argv)
+    import jax
+
+    from pcgcv2_tpu.cache import enable_persistent_cache
+
+    enable_persistent_cache(jax)
     import numpy as np
 
     from pcgcv2_tpu.ops import blocks as _B

@@ -48,6 +48,11 @@ def parse_args(argv=None):
 
 def main(argv=None):
     args = parse_args(argv)
+    import jax
+
+    from pcgcv2_tpu.cache import enable_persistent_cache
+
+    enable_persistent_cache(jax)
     from pcgcv2_tpu.config import BlockPlan, TrainConfig
     from pcgcv2_tpu.data.synthetic import random_surface_cloud
     from pcgcv2_tpu.train.trainer import Trainer

@@ -4,12 +4,12 @@ import numpy as np
 import pytest
 
 from pcgcv2_tpu.models.entropy import (
-
-pytestmark = pytest.mark.fast  # no full-model compiles
     EntropyBottleneck,
     lower_bound,
     round_ste,
 )
+
+pytestmark = pytest.mark.fast  # no full-model compiles
 
 
 def make_eb(channels=4):

@@ -12,6 +12,24 @@ from pcgcv2_tpu.data.synthetic import sphere_cloud
 from pcgcv2_tpu.train.trainer import Trainer, load_params
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _production_dtypes():
+    """Run this module's full-model compiles in production dtype mode.
+
+    The suite-wide x64 flag (conftest) exists ONLY for the int64-key sparse
+    oracle; under x64, XLA:CPU's backward-pass compiles blow up 10-25x
+    (measured: 164 s f32 vs 25-70 min f64 for the same train-step graph —
+    the round-3 suite stall).  Full-model tests neither use the oracle nor
+    ship f64 anywhere, so they compile f32 like production."""
+    import jax
+
+    old = jax.config.jax_enable_x64
+    jax.config.update("jax_enable_x64", False)
+    yield
+    jax.config.update("jax_enable_x64", old)
+
+
+
 @pytest.fixture(scope="module")
 def trainer_ctx(tmp_path_factory):
     td = tmp_path_factory.mktemp("trainer")
