@@ -32,18 +32,30 @@ def _ensure_backend() -> None:
 
     probe = "import jax; jax.devices()"
     for attempt in range(3):
-        r = subprocess.run(
-            [sys.executable, "-c", probe], capture_output=True, text=True
-        )
+        try:
+            # A wedged TPU tunnel HANGS inside jax.devices() rather than
+            # erroring (observed: multi-hour pool-grant outage), so the
+            # probe must be time-bounded or the bench never reports.
+            r = subprocess.run(
+                [sys.executable, "-c", probe], capture_output=True,
+                text=True, timeout=150,
+            )
+        except subprocess.TimeoutExpired:
+            print(f"# backend probe hung (attempt {attempt + 1})",
+                  file=sys.stderr)
+            continue
         if r.returncode == 0:
             return
         print(f"# backend probe failed (attempt {attempt + 1}): "
               f"{r.stderr.strip().splitlines()[-1] if r.stderr else '?'}",
               file=sys.stderr)
         time.sleep(15)
-    if os.environ.get("JAX_PLATFORMS") and not os.environ.get("_BENCH_REEXEC"):
-        print("# falling back to auto platform selection", file=sys.stderr)
-        env = dict(os.environ, JAX_PLATFORMS="", _BENCH_REEXEC="1")
+    if not os.environ.get("_BENCH_REEXEC"):
+        # explicit CPU, not auto: auto-selection would pick the registered
+        # TPU plugin again and hang inside the bench process itself
+        print("# falling back to CPU (slow but reports a number)",
+              file=sys.stderr)
+        env = dict(os.environ, JAX_PLATFORMS="cpu", _BENCH_REEXEC="1")
         os.execve(sys.executable, [sys.executable] + sys.argv, env)
 
 
