@@ -526,6 +526,13 @@ def conv3(
     """
     if compute_dtype is None:
         compute_dtype = COMPUTE_DTYPE
+    if os.environ.get("PCGC_PALLAS_CONV") == "1":
+        # Fused halo+conv Pallas kernel (ops/pallas_conv.py): ~2.3x less
+        # HBM traffic per conv.  FORWARD-ONLY — enable for codec/inference
+        # processes, never training (no VJP).
+        from pcgcv2_tpu.ops.pallas_conv import conv3_pallas
+
+        return conv3_pallas(bg, nbrs, weight, bias, compute_dtype)
     ch = bg.channels
     ch_min = max(1, 128 // BS)  # folded z*C lane axis >= 128 wide
     if ch < ch_min:
