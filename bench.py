@@ -91,7 +91,7 @@ def main() -> None:
     # grid); init fallback keeps the bench self-contained.
     params = None
     for ck in ("ckpts/r4/r4_final.ckpt", "ckpts/r3/r3_final.ckpt",
-               "ckpts/r7/r7_final.ckpt"):
+               "ckpts/r7/r7_final.ckpt", "tests/golden/golden.ckpt"):
         if os.path.exists(ck):
             from pcgcv2_tpu.train.trainer import load_params
 
