@@ -43,6 +43,7 @@ def machine_fingerprint() -> str:
 
 
 def cache_dir(root: str = "/root/repo/.jax_cache") -> str:
+    root = os.environ.get("PCGC_CACHE_ROOT", root)
     d = os.path.join(root, machine_fingerprint())
     os.makedirs(d, exist_ok=True)
     return d
