@@ -89,14 +89,18 @@ def main() -> None:
     # Trained checkpoint when available (the steady-state encode cost
     # depends on the trained feature symbol range through the rANS pmf
     # grid); init fallback keeps the bench self-contained.
+    root = os.path.dirname(os.path.abspath(__file__))
     params = None
+    params_src = "random-init"
     for ck in ("ckpts/r4/r4_final.ckpt", "ckpts/r3/r3_final.ckpt",
                "ckpts/r7/r7_final.ckpt", "tests/golden/golden.ckpt"):
+        ck = os.path.join(root, ck)
         if os.path.exists(ck):
             from pcgcv2_tpu.train.trainer import load_params
 
             params = load_params(ck)
-            print(f"# bench params: {ck}", file=sys.stderr)
+            params_src = os.path.relpath(ck, root)
+            print(f"# bench params: {params_src}", file=sys.stderr)
             break
     if params is None:
         from pcgcv2_tpu.data.synthetic import sphere_cloud
@@ -141,6 +145,9 @@ def main() -> None:
         "value": round(best, 4),
         "unit": "s",
         "vs_baseline": round(BASELINE_S / best, 3),
+        # params provenance: trained symbol ranges change the rANS pmf
+        # width, so timings are only comparable at equal params source
+        "params": params_src,
     }))
 
 

@@ -41,7 +41,7 @@ from pcgcv2_tpu.codec import gpcc, native, octree
 from pcgcv2_tpu.config import BlockPlan, ModelConfig
 from pcgcv2_tpu.data import io as pcio
 from pcgcv2_tpu.data.voxelize import unique_rows
-from pcgcv2_tpu.models.entropy import EntropyBottleneck
+from pcgcv2_tpu.models.entropy import pmf_host
 from pcgcv2_tpu.models.pcc import PCCModel
 from pcgcv2_tpu.ops import blocks as B
 
@@ -172,11 +172,6 @@ class Coder:
         self.coordinate_coder = CoordinateCoder(filename, prefer_gpcc)
         self.feature_coder = FeatureCoder(filename, self._pmf)
         self._models = {}
-        self._eb = EntropyBottleneck(
-            channels=model_config.enc_channels[-1],
-            filters=model_config.entropy_filters,
-            init_scale=model_config.entropy_init_scale,
-        )
 
     # --- jit-cached model/stage builders -----------------------------------
 
@@ -358,21 +353,13 @@ class Coder:
 
         return fn
 
-    @functools.lru_cache(maxsize=None)
-    def _pmf_jit(self, num_symbols: int):
-        eb = self._eb
-
-        @jax.jit
-        def fn(params, min_v):
-            return eb.apply(
-                params, min_v, num_symbols - 1, method=EntropyBottleneck.pmf
-            )
-
-        return fn
-
     def _pmf(self, min_v, num_symbols: int):
-        eb_params = {"params": self.params["params"]["entropy_bottleneck"]}
-        return self._pmf_jit(num_symbols)(eb_params, min_v)
+        """Host PMF evaluation (models/entropy.py:pmf_host): the grid is a
+        [S, 8] batch through a width-3 MLP — running it on device costs a
+        full tunnel round-trip per encode and per decode for microseconds
+        of math."""
+        eb_params = self.params["params"]["entropy_bottleneck"]
+        return pmf_host(eb_params, float(min_v), num_symbols)
 
     def _plan_for(self, n_points: int) -> BlockPlan:
         import dataclasses

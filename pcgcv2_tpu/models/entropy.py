@@ -169,3 +169,44 @@ class EntropyBottleneck(nn.Module):
 def bias_uniform_init(key, shape, dtype=jnp.float32):
     """U(-0.5, 0.5) — the reference's bias init (entropy_model.py:74)."""
     return jax.random.uniform(key, shape, dtype, minval=-0.5, maxval=0.5)
+
+
+def pmf_host(eb_params, min_v: float, num_symbols: int) -> np.ndarray:
+    """Host (numpy) twin of `EntropyBottleneck.pmf` for the codec.
+
+    The symbol-grid PMF is a [S, C] batch through a 4-stage MLP with hidden
+    widths <= 3 — microseconds on the host, but as a jitted device call it
+    costs a full tunnel round-trip per encode AND per decode (~0.75 s fixed
+    H2D latency each, see codec/coder.py).  Both codec sides use this same
+    function, so the quantized CDF stays bitstream-consistent by
+    construction.
+
+    eb_params: the `entropy_bottleneck` param subtree
+    ({matrix_i, bias_i, factor_i}); returns [C, S] float64 >= the
+    likelihood bound.
+    """
+    mats = sorted(k for k in eb_params if k.startswith("matrix_"))
+    channels = np.asarray(eb_params["bias_0"]).shape[0]
+    grid = min_v + np.arange(num_symbols, dtype=np.float64)  # [S]
+    x = np.broadcast_to(grid, (channels, 1, num_symbols))  # [C, 1, S]
+
+    def logits_cumulative(v):
+        logits = v
+        for i in range(len(mats)):
+            m = np.asarray(eb_params[f"matrix_{i}"], dtype=np.float64)
+            b = np.asarray(eb_params[f"bias_{i}"], dtype=np.float64)
+            f = np.asarray(eb_params[f"factor_{i}"], dtype=np.float64)
+            logits = np.einsum("cij,cjn->cin", np.logaddexp(0.0, m), logits)
+            logits = logits + b
+            logits = logits + np.tanh(f) * np.tanh(logits)
+        return logits
+
+    lo = logits_cumulative(x - 0.5)
+    hi = logits_cumulative(x + 0.5)
+    sign = -np.sign(lo + hi)
+
+    def sigmoid(z):
+        return 0.5 * (1.0 + np.tanh(0.5 * z))
+
+    p = np.abs(sigmoid(sign * hi) - sigmoid(sign * lo))[:, 0, :]  # [C, S]
+    return np.clip(p, LIKELIHOOD_BOUND, None)

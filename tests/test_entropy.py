@@ -6,6 +6,7 @@ import pytest
 from pcgcv2_tpu.models.entropy import (
     EntropyBottleneck,
     lower_bound,
+    pmf_host,
     round_ste,
 )
 
@@ -49,6 +50,28 @@ def test_pmf_sums_to_one(rng):
     assert pmf.shape == (4, 201)
     # over a wide symbol range the discretized density must capture ~all mass
     np.testing.assert_allclose(pmf.sum(axis=1), 1.0, atol=1e-3)
+
+
+def test_pmf_host_matches_device(rng):
+    """The codec's host PMF (pmf_host) must agree with the flax pmf to well
+    under CDF-quantization granularity (2^-16) so either backend yields the
+    same bitstream after native.quantize_cdf."""
+    eb, params = make_eb()
+    # perturb params away from init so the test isn't trivially symmetric
+    params = jax.tree.map(
+        lambda p: p + jnp.asarray(
+            np.random.RandomState(3).uniform(-0.2, 0.2, p.shape), p.dtype
+        ),
+        params,
+    )
+    for min_v, s in ((-7, 15), (-40, 90), (0, 1)):
+        dev = np.asarray(eb.apply(
+            params, jnp.float32(min_v), s - 1,
+            method=lambda m, a, b: m.pmf(a, b),
+        ))
+        host = pmf_host(params["params"], float(min_v), s)
+        assert host.shape == dev.shape == (4, s)
+        np.testing.assert_allclose(host, dev, atol=2e-6, rtol=1e-4)
 
 
 def test_noise_mode_needs_and_uses_rng(rng):
