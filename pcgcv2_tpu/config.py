@@ -230,5 +230,10 @@ class TrainConfig:
     batch_size: int = 8
     epochs: int = 50
     lr_min: float = 1e-5        # per-epoch halving floor (ref train.py:70)
+    lr_halve_every: int = 1     # epochs between lr halvings; 1 = the ref
+    #                             schedule.  Callers that chunk one logical
+    #                             epoch into several train() calls (bounded
+    #                             device uploads) raise this so the schedule
+    #                             tracks logical epochs, not chunks.
     check_time: float = 10.0    # minutes between mid-epoch snapshots
     reset_optimizer_each_epoch: bool = True  # ref quirk (trainer.py:112)

@@ -45,23 +45,39 @@ class Encoder(nn.Module):
     plan: BlockPlan = BlockPlan(res=128, nb=(2048, 1024, 512, 256))
     blocks: int = 3
 
-    @nn.compact
-    def __call__(self, x: BlockGrid):
+    def _scale(self, s: int, out: BlockGrid) -> BlockGrid:
+        """One encoder scale: 3^3 conv -> 2x down -> IRN stack."""
         ch = self.channels
+        nbrs_in = B.neighbor_rows(out)
+        out = BConv3(ch[s + 1], name=f"conv{s}")(out, nbrs_in)
+        out = BConvDown(
+            ch[s + 2], self.plan.nb[s + 1], name=f"down{s}"
+        )(relu(out))
+        out = relu(out)
+        nbrs = B.neighbor_rows(out)
+        for i in range(self.blocks):
+            out = RematIRN(ch[s + 2], name=f"block{s}_{i}")(out, nbrs)
+        return out
+
+    @nn.compact
+    def __call__(self, x: BlockGrid, training: bool = False):
+        # Whole-scale remat IN TRAINING ONLY: only the three scale outputs
+        # are saved for the backward pass — each scale's halo gathers and
+        # conv activations (the [nb, 18^3-halo, C] temps that put the
+        # vox10-class training step at 17.1 GiB, over one v5e's 14.9 GiB
+        # HBM) are recomputed instead.  Inference paths (codec encode_fn)
+        # skip the remat wrapper so their HLO — and the persistent compile
+        # cache entries for it — are unchanged.
+        scale = (nn.remat(Encoder._scale, static_argnums=(1,))
+                 if training else Encoder._scale)
         outs: List[BlockGrid] = []
         out = x
         for s in range(3):
-            nbrs_in = B.neighbor_rows(out)
-            out = BConv3(ch[s + 1], name=f"conv{s}")(out, nbrs_in)
-            out = BConvDown(
-                ch[s + 2], self.plan.nb[s + 1], name=f"down{s}"
-            )(relu(out))
-            out = relu(out)
-            nbrs = B.neighbor_rows(out)
-            for i in range(self.blocks):
-                out = RematIRN(ch[s + 2], name=f"block{s}_{i}")(out, nbrs)
+            out = scale(self, s, out)
             outs.append(out)
-        out2 = BConv3(ch[5], name="conv3")(outs[2], B.neighbor_rows(outs[2]))
+        out2 = BConv3(self.channels[5], name="conv3")(
+            outs[2], B.neighbor_rows(outs[2])
+        )
         # coarse -> fine, matching the reference's [out2, out1, out0]
         return out2, outs[1], outs[0]
 
@@ -109,10 +125,16 @@ class Decoder(nn.Module):
         1-channel occupancy logits as features — exactly what the loss needs
         (ref pcc_model.py:39-45, loss.py:7-15).
         """
+        # Remat each decoder stage in training (cf. Encoder.__call__):
+        # saves only the pruned inter-stage grids; the candidate-grid halos
+        # and IRN activations are recomputed in backward.  Inference keeps
+        # the un-wrapped stages (identical HLO to pre-remat builds).
+        stage = (nn.remat(Decoder.stage, static_argnums=(1, 3))
+                 if training else Decoder.stage)
         out = y
         out_cls_list: List[BlockGrid] = []
         for s in range(3):
-            out, cls = self.stage(s, out)
+            out, cls = stage(self, s, out, None)
             out_cls_list.append(cls)
             logits = cls.feats[:, :, 0]
             keep = B.topk_mask(out, logits, nums_list[s])

@@ -63,7 +63,7 @@ class PCCModel(nn.Module):
         rng: Optional[jax.Array] = None,
     ) -> Dict[str, Any]:
         x = self.blockify(coords, valid)
-        y, out1, out0 = self.encoder(x)
+        y, out1, out0 = self.encoder(x, training)
         ground_truth_list = [out1, out0, x]
         nums_list = [gt.voxels_per_batch() for gt in ground_truth_list]
 

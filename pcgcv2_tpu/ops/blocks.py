@@ -923,12 +923,19 @@ def topk_mask(
     ).astype(jnp.float32)
     k = jnp.asarray(nums, jnp.int32)
 
+    brow_c = jnp.clip(brow, 0, nbatch - 1)
+
     def count_ge(t):
-        """[B] — occupied slots with score bits >= t (t: [B] uint32)."""
-        ge = (u[:, :, None] >= t[None, None, :]) & live[:, :, None]
-        per_block = jnp.sum(ge.astype(jnp.float32), axis=1)  # [nb, B-thresh]
+        """[B] — occupied slots with score bits >= t (t: [B] uint32).
+
+        Each block row is batch-pure, so every slot only needs comparing
+        against its OWN batch's threshold — [nb, VOL] work, not the
+        [nb, VOL, B] broadcast (which at training shape B=8 was 8x the
+        VPU traffic of the whole prune)."""
+        ge = (u >= t[brow_c][:, None]) & live
+        per_block = jnp.sum(ge.astype(jnp.float32), axis=1)  # [nb]
         # route each block's count to its own batch column
-        c = jnp.sum(per_block * onehot, axis=0).astype(jnp.int32)
+        c = jnp.sum(per_block[:, None] * onehot, axis=0).astype(jnp.int32)
         if psum_axis is not None:
             c = jax.lax.psum(c, psum_axis)
         return c

@@ -284,7 +284,7 @@ class Trainer:
     def train(self, batches: Iterable[Sequence[np.ndarray]]):
         """One epoch over an iterable of batches (lists of [N,3] coords)."""
         self.logger.info("=" * 40 + f"\nTraining Epoch: {self.epoch}")
-        if self.epoch > 0:
+        if self.epoch > 0 and self.epoch % self.config.lr_halve_every == 0:
             self.lr = max(self.lr / 2, self.config.lr_min)  # ref train.py:70
         start_time = time.time()
         n_steps = 0
@@ -346,7 +346,7 @@ class Trainer:
         [N,3] coords; oversized batches are dropped host-side so every step
         shares the static collated shape."""
         self.logger.info("=" * 40 + f"\nTraining Epoch: {self.epoch}")
-        if self.epoch > 0:
+        if self.epoch > 0 and self.epoch % self.config.lr_halve_every == 0:
             self.lr = max(self.lr / 2, self.config.lr_min)  # ref train.py:70
         kept = []
         for coords_list in batches:
