@@ -103,6 +103,11 @@ class Trainer:
         self.rng = jax.random.PRNGKey(seed)
         self.epoch = 0
         self.lr = config.lr
+        # traced loss-weight operand shared by all step/eval compiles (see
+        # _build_step_fns): rate-ladder sweeps reuse ONE compiled step
+        self._ab = jnp.asarray(
+            [config.alpha, config.beta], dtype=jnp.float32
+        )
         self.tx = make_optimizer(config.weight_decay)
         self.params = None
         self.opt_state = None
@@ -133,16 +138,19 @@ class Trainer:
         self._build_step_fns()
 
     def _build_step_fns(self):
-        alpha, beta = self.config.alpha, self.config.beta
         model, tx = self.model, self.tx
 
+        # alpha/beta ride as a traced [2] operand, NOT closure constants:
+        # baked-in floats would give every rate point of a ladder sweep a
+        # distinct HLO and its own full compile (~10 min each on the remote
+        # tunnel); as operands, all 7 points share one compiled step.
         @jax.jit
-        def step(params, opt_state, coords, valid, rng):
+        def step(params, opt_state, coords, valid, rng, ab):
             def loss_fn(p):
                 out = model.apply(
                     p, coords, valid, True, rngs={"noise": rng}
                 )
-                d = rd_loss(out, alpha, beta, "train")
+                d = rd_loss(out, ab[0], ab[1], "train")
                 mets = jnp.stack(
                     [
                         cls_metrics(c, g)
@@ -161,9 +169,9 @@ class Trainer:
             return params, opt_state, d, mets, n_drop
 
         @jax.jit
-        def evaluate(params, coords, valid):
+        def evaluate(params, coords, valid, ab):
             out = model.apply(params, coords, valid, False)
-            d = rd_loss(out, alpha, beta, "test")
+            d = rd_loss(out, ab[0], ab[1], "test")
             mets = jnp.stack(
                 [
                     cls_metrics(c, g)
@@ -176,7 +184,7 @@ class Trainer:
         self._eval_fn = evaluate
 
         @jax.jit
-        def epoch_scan(params, opt_state, coords_all, valid_all, rngs):
+        def epoch_scan(params, opt_state, coords_all, valid_all, rngs, ab):
             """Whole epoch in one dispatch: the remote-TPU tunnel charges
             ~0.75 s per transfer regardless of size, so per-step H2D/D2H
             (the reference's DataLoader pattern, and our own round-2 loop)
@@ -187,7 +195,7 @@ class Trainer:
                 params, opt_state = carry
                 coords, valid, rng = xs
                 params, opt_state, d, mets, n_drop = step(
-                    params, opt_state, coords, valid, rng
+                    params, opt_state, coords, valid, rng, ab
                 )
                 stats = jnp.concatenate(
                     [
@@ -207,10 +215,10 @@ class Trainer:
         self._epoch_fn = epoch_scan
 
         @jax.jit
-        def eval_scan(params, coords_all, valid_all):
+        def eval_scan(params, coords_all, valid_all, ab):
             def body(_, xs):
                 coords, valid = xs
-                d, mets = evaluate(params, coords, valid)
+                d, mets = evaluate(params, coords, valid, ab)
                 stats = jnp.concatenate(
                     [jnp.stack([d["bce"], d["bpp"]]), d["bces"]]
                 )
@@ -304,7 +312,7 @@ class Trainer:
             )
             self.rng, sub = jax.random.split(self.rng)
             self.params, self.opt_state, d, mets, n_drop = self._step_fn(
-                self.params, self.opt_state, coords, valid, sub
+                self.params, self.opt_state, coords, valid, sub, self._ab
             )
             n_steps += 1
             if int(n_drop):
@@ -373,7 +381,8 @@ class Trainer:
         rngs = jax.random.split(sub, len(kept))
         if mode == "scan":
             self.params, self.opt_state, stats, mets = self._epoch_fn(
-                self.params, self.opt_state, coords_all, valid_all, rngs
+                self.params, self.opt_state, coords_all, valid_all, rngs,
+                self._ab,
             )
         else:
             # device-resident loop: one H2D for the epoch, per-step
@@ -387,7 +396,8 @@ class Trainer:
             stats_l, mets_l = [], []
             for i in range(len(kept)):
                 params, opt_state, d, m, n_drop = self._step_fn(
-                    params, opt_state, coords_all[i], valid_all[i], rngs[i]
+                    params, opt_state, coords_all[i], valid_all[i], rngs[i],
+                    self._ab,
                 )
                 stats_l.append(jnp.concatenate([
                     jnp.stack(
@@ -436,14 +446,16 @@ class Trainer:
         self._ensure_initialized(*collated[0])
         if mode == "scan":
             stats, mets = self._eval_scan_fn(
-                self.params, coords_all, valid_all
+                self.params, coords_all, valid_all, self._ab
             )
         else:
             coords_all = jax.device_put(coords_all)
             valid_all = jax.device_put(valid_all)
             rows = []
             for i in range(len(kept)):
-                d, m = self._eval_fn(self.params, coords_all[i], valid_all[i])
+                d, m = self._eval_fn(
+                    self.params, coords_all[i], valid_all[i], self._ab
+                )
                 rows.append((jnp.concatenate(
                     [jnp.stack([d["bce"], d["bpp"]]), d["bces"]]
                 ), m))
@@ -465,7 +477,7 @@ class Trainer:
                 continue
             coords, valid = self._collate(coords_list)
             self._ensure_initialized(coords, valid)
-            d, mets = self._eval_fn(self.params, coords, valid)
+            d, mets = self._eval_fn(self.params, coords, valid, self._ab)
             self.record_set["bce"].append(float(d["bce"]))
             self.record_set["bces"].append(np.asarray(d["bces"]))
             self.record_set["bpp"].append(float(d["bpp"]))
