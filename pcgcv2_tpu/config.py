@@ -217,6 +217,12 @@ class ModelConfig:
     blocks_per_scale: int = 3
     entropy_filters: Tuple[int, ...] = (3, 3, 3)
     entropy_init_scale: float = 8.0
+    # Rematerialize whole encoder scales / decoder stages in the training
+    # backward pass (the production setting: the vox10-class step does not
+    # fit one v5e's HBM without it).  jax.checkpoint is semantically
+    # transparent, so small-model tests turn it off — the remat'd backward
+    # multiplies XLA:CPU compile time several-fold.
+    remat_training: bool = True
 
 
 @dataclasses.dataclass(frozen=True)

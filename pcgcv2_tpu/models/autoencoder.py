@@ -20,8 +20,6 @@ from typing import List, Optional, Sequence, Tuple
 import jax.numpy as jnp
 from flax import linen as nn
 
-from flax import linen as flax_nn
-
 from pcgcv2_tpu.config import BlockPlan
 from pcgcv2_tpu.models.layers import (
     BConv3,
@@ -33,17 +31,20 @@ from pcgcv2_tpu.models.layers import (
 from pcgcv2_tpu.ops import blocks as B
 from pcgcv2_tpu.ops.blocks import BlockGrid
 
-# Rematerialize each InceptionResNet block in the backward pass: its halo
-# gathers and intermediate conv activations dominate training HBM at vox10
-# scale (a [nb, 10^3, C] halo per 3^3 conv); recomputing them costs ~1/3 of
-# the forward FLOPs and cuts saved activations to the block inputs only.
-RematIRN = flax_nn.remat(BInceptionResNet)
+# NOTE on remat granularity: training wraps whole encoder scales and
+# decoder stages in nn.remat (see __call__ below) — that one checkpoint
+# level already discards every interior activation (halo gathers, IRN
+# intermediates) from the saved set.  An additional per-IRN-block remat
+# inside it is memory-neutral but NESTS jax.checkpoint, which made the
+# backward compile pathological (>17 min for the tiny test model on
+# XLA:CPU, +70% on the TPU tunnel); the blocks are therefore plain.
 
 
 class Encoder(nn.Module):
     channels: Sequence[int] = (1, 16, 32, 64, 32, 8)
     plan: BlockPlan = BlockPlan(res=128, nb=(2048, 1024, 512, 256))
     blocks: int = 3
+    remat: bool = True
 
     def _scale(self, s: int, out: BlockGrid) -> BlockGrid:
         """One encoder scale: 3^3 conv -> 2x down -> IRN stack."""
@@ -56,7 +57,9 @@ class Encoder(nn.Module):
         out = relu(out)
         nbrs = B.neighbor_rows(out)
         for i in range(self.blocks):
-            out = RematIRN(ch[s + 2], name=f"block{s}_{i}")(out, nbrs)
+            out = BInceptionResNet(
+                ch[s + 2], name=f"block{s}_{i}"
+            )(out, nbrs)
         return out
 
     @nn.compact
@@ -69,7 +72,7 @@ class Encoder(nn.Module):
         # skip the remat wrapper so their HLO — and the persistent compile
         # cache entries for it — are unchanged.
         scale = (nn.remat(Encoder._scale, static_argnums=(1,))
-                 if training else Encoder._scale)
+                 if training and self.remat else Encoder._scale)
         outs: List[BlockGrid] = []
         out = x
         for s in range(3):
@@ -86,6 +89,7 @@ class Decoder(nn.Module):
     channels: Sequence[int] = (8, 64, 32, 16)
     plan: BlockPlan = BlockPlan(res=128, nb=(2048, 1024, 512, 256))
     blocks: int = 3
+    remat: bool = True
 
     def setup(self):
         ch = self.channels
@@ -93,7 +97,9 @@ class Decoder(nn.Module):
             setattr(self, f"up{s}", BGenUp(ch[s + 1], self.plan.up_cap(s)))
             setattr(self, f"conv{s}", BConv3(ch[s + 1]))
             for i in range(self.blocks):
-                setattr(self, f"block{s}_{i}", RematIRN(ch[s + 1]))
+                setattr(
+                    self, f"block{s}_{i}", BInceptionResNet(ch[s + 1])
+                )
             setattr(self, f"conv{s}_cls", BConv3(1))
 
     def stage(
@@ -130,7 +136,7 @@ class Decoder(nn.Module):
         # and IRN activations are recomputed in backward.  Inference keeps
         # the un-wrapped stages (identical HLO to pre-remat builds).
         stage = (nn.remat(Decoder.stage, static_argnums=(1, 3))
-                 if training else Decoder.stage)
+                 if training and self.remat else Decoder.stage)
         out = y
         out_cls_list: List[BlockGrid] = []
         for s in range(3):

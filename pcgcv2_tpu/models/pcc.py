@@ -34,11 +34,13 @@ class PCCModel(nn.Module):
             channels=self.config.enc_channels,
             plan=self.plan,
             blocks=self.config.blocks_per_scale,
+            remat=self.config.remat_training,
         )
         self.decoder = Decoder(
             channels=self.config.dec_channels,
             plan=self.plan,
             blocks=self.config.blocks_per_scale,
+            remat=self.config.remat_training,
         )
         self.entropy_bottleneck = EntropyBottleneck(
             channels=self.config.enc_channels[-1],

@@ -15,4 +15,8 @@ TINY_MODEL = ModelConfig(
     enc_channels=(1, 8, 16, 16, 16, 8),
     dec_channels=(8, 16, 16, 8),
     blocks_per_scale=1,
+    # remat is a memory knob with identical semantics (jax.checkpoint);
+    # leaving it on multiplies the XLA:CPU backward compile severalfold
+    # for zero test value (the TPU training runs cover the remat path)
+    remat_training=False,
 )

@@ -97,6 +97,7 @@ def test_metrics_range(setup):
         assert ((m >= 0) & (m <= 1)).all()
 
 
+@pytest.mark.slow
 def test_grads_and_overfit():
     """Gradients reach (nearly) all params and a few Adam steps reduce the
     RD loss — the end-to-end learning signal.
@@ -104,7 +105,10 @@ def test_grads_and_overfit():
     Deliberately does NOT reuse the module fixture: XLA:CPU's backward
     compile under the suite's x64 mode grows superlinearly with shape
     (25-70 min at the fixture's res-64/cap-8192 — the round-3 suite
-    stall), so this builds its own res-32/cap-2048 setup (~3 min)."""
+    stall), so this builds its own res-32/cap-2048 setup.  @slow: the
+    backward compile alone measured 1292 s on this 1-core host in round 4
+    (it stalled two full "not slow" runs at 74%); the trainer-module tests
+    cover the same step-with-gradients path at the same shape."""
     from tests._tiny import TINY_MODEL
 
     clouds = [sphere_cloud(14, density=1.2, seed=s) for s in (0, 1)]
