@@ -18,6 +18,17 @@ once per kernel instance.
 Forward-only (inference/codec path): the banded XLA path remains the
 training implementation (it has a full VJP through the gathers).
 
+STATUS (round 4, measured on the real v5e chip): Mosaic REJECTS this
+kernel — HBM memref slices must be aligned to the (8, 128) tile on the
+last two dims, and the halo face/edge/corner slabs are 1 cell wide
+("Slice shape along dimension 2 must be aligned to tiling (8), but is 1",
+scripts/pallas_chip_ab.py).  The fine-grained 27-slab DMA design is
+therefore not compilable on current Mosaic; a workable variant would have
+to over-fetch 8-aligned sub-boxes (~3.5x block bytes vs this kernel's
+1.42x, vs the XLA path's 5.6x) and select in VMEM.  Until that is built
+and measured, the XLA banded path stays the production conv everywhere;
+this kernel remains interpret-mode-validated documentation of the design.
+
 Miss handling relies on the BlockGrid contract that row nb_cap-1 is invalid
 and all-zero (ops.blocks.neighbor_rows points misses there).
 """
