@@ -32,7 +32,7 @@ def test_golden_rd_replay(tmp_path):
         exp = json.load(f)
     got = run_codec(CKPT, str(tmp_path))
     assert got["n_points"] == exp["n_points"]
-    assert got["bpp"] == pytest.approx(exp["bpp"], rel=0.01), (
+    assert got["bpp"] == pytest.approx(exp["bpp"], rel=0.005), (
         f"bpp regressed: {got['bpp']} vs golden {exp['bpp']}"
     )
     assert abs(got["d1_psnr"] - exp["d1_psnr"]) <= 0.05, (
