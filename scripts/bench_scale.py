@@ -1,11 +1,14 @@
 """Scale-path validation: whole-frame vox11 and pre-scaled vox12 frames.
 
 Mirrors the reference's large-content configurations:
-  * dancer_vox11-class: ~2.6 M points at res 2048 processed WHOLE
-    (sf=1.0, like ref results/dancer_vox11_00000001.csv).  The decoder's
-    final stage streams x-slabs (codec.coder._decode_streamed_fn) so the
-    candidate grids never materialize at once — that is what fits a single
-    v5e's 16 GB HBM.
+  * dancer_vox11-class: ~3.5 M points at res 2048.  Whole-frame (sf=1.0)
+    DECODE fits one v5e (the final stage streams x-slabs,
+    codec.coder._decode_streamed_fn), but whole-frame ENCODE measured
+    18.22 GB HBM needed vs 15.75 GB free — finest-scale IRN temps — so
+    the default leg runs the reference's own pre-scale recipe (sf=0.5,
+    ref data_utils.py:112-118) and rescales for metrics; `--sf11 1.0`
+    retries whole-frame.  Streaming the encoder's finest scale is the
+    round-5 fix.
   * vox12-class: res 4096 content with scaling_factor=0.375 pre-scaling and
     inverse rescale after decode (ref README.md:39-40, data_utils.py:112-118,
     results/House_without_roof_00057_vox12.csv).
@@ -32,6 +35,14 @@ def parse_args(argv=None):
     p.add_argument("--ckpt", required=True)
     p.add_argument("--outdir", default="./output")
     p.add_argument("--reps", type=int, default=REPS)
+    p.add_argument(
+        "--sf11", type=float, default=0.5,
+        help="vox11 pre-scale factor.  Whole-frame sf=1.0 ENCODE does not "
+        "fit one v5e: measured 18.22 GB HBM needed vs 15.75 GB free "
+        "(finest-scale IRN temps over ~3.5 M voxels; the streamed x-slab "
+        "path bounds DECODE memory only).  Default follows the reference's "
+        "own pre-scale recipe (ref data_utils.py:112-118); pass 1.0 to "
+        "retry whole-frame on a bigger-HBM part.")
     return p.parse_args(argv)
 
 
@@ -100,12 +111,27 @@ def main(argv=None):
         with open("results/scale_validation.json", "w") as f:
             json.dump(results, f, indent=1)
 
-    # --- vox11 class WHOLE frame: ~2.6 M points @ res 2048, sf=1.0 --------
+    # --- vox11 class: ~3.5 M points @ res 2048 -----------------------------
+    # sf=1.0 whole-frame encode OOMs one v5e (see --sf11 help); the default
+    # runs the reference's pre-scale recipe and rescales for metrics, which
+    # keeps the D1 numbers comparable to ref results/dancer_vox11 rows.
     cloud11 = torus_cloud(1390, density=4.0, seed=11)
     print(f"vox11-class frame: {len(cloud11)} voxels @ res 2048 "
-          f"(whole, sf=1.0, streamed decode)", flush=True)
-    coder11 = Coder(params, os.path.join(args.outdir, "vox11w"), res=2048)
-    record("vox11_res2048_sf1.0_whole", cloud11, coder11, 2048)
+          f"(sf={args.sf11})", flush=True)
+    if args.sf11 == 1.0:
+        coder11 = Coder(
+            params, os.path.join(args.outdir, "vox11w"), res=2048
+        )
+        record("vox11_res2048_sf1.0_whole", cloud11, coder11, 2048)
+    else:
+        scaled11 = scale_coords(cloud11, args.sf11)
+        record.orig = cloud11
+        res11 = int(2048 * args.sf11)
+        coder11 = Coder(
+            params, os.path.join(args.outdir, "vox11"), res=res11
+        )
+        record(f"vox11_res2048_sf{args.sf11}", scaled11, coder11, 2048,
+               rescale=args.sf11)
 
     # --- vox12 class: res 4096 content, sf=0.375 pre-scale -----------------
     cloud12 = torus_cloud(2780, density=0.85, seed=12)
