@@ -57,6 +57,25 @@ def canonical_order(coords: np.ndarray) -> np.ndarray:
     return np.lexsort((coords[:, 2], coords[:, 1], coords[:, 0]))
 
 
+def block_counts(coords: np.ndarray) -> Tuple[int, int, int, int]:
+    """Occupied-block counts at strides (1, 2, 4, 8) — the measured frame
+    footprint that BlockPlan.for_frame turns into exact-fit capacities.
+
+    One full-length dedup at the finest scale; the three coarser counts
+    reuse its unique block coords (a scale-s block covers the same cells
+    as a 2^s-aggregate of finest blocks: (c >> (4+s)) == ((c >> 4) >> s))."""
+    shift = int(B.BS).bit_length() - 1  # log2(block side)
+    c = np.asarray(coords, dtype=np.int64) >> shift
+    key = (c[:, 0] << 42) | (c[:, 1] << 21) | c[:, 2]
+    fine = np.unique(key)
+    counts = [len(fine)]
+    x, y, z = fine >> 42, (fine >> 21) & 0x1FFFFF, fine & 0x1FFFFF
+    for s in range(1, 4):
+        ks = ((x >> s) << 42) | ((y >> s) << 21) | (z >> s)
+        counts.append(len(np.unique(ks)))
+    return tuple(counts)
+
+
 class FeatureCoder:
     """Learned-prior rANS coding of bottleneck features
     (replaces torchac usage at ref entropy_model.py:151-195)."""
@@ -296,7 +315,7 @@ class Coder:
         # Floors scale with the plan (a fixed 1024-block floor is 4.2M
         # slots at BS=16 — pathological for small frames).
         sub_in_cap = max(32, plan.dec_nb[1] * 4 // n_slabs)
-        sub_cand_cap = plan.up_factors[2] * sub_in_cap
+        sub_cand_cap = max(256, plan.up_cap(2) * 4 // n_slabs)
 
         @jax.jit
         def fn(params, pack):
@@ -361,11 +380,9 @@ class Coder:
         eb_params = self.params["params"]["entropy_bottleneck"]
         return pmf_host(eb_params, float(min_v), num_symbols)
 
-    def _plan_for(self, n_points: int) -> BlockPlan:
+    def _apply_overrides(self, plan: BlockPlan) -> BlockPlan:
         import dataclasses
 
-        cap = _bucket(n_points, self.input_granularity)
-        plan = BlockPlan.for_cloud(cap, self.res)
         if self.up_factors is not None:
             # explicit factors take over: drop the absolute candidate caps
             # so factor * coarser-cap sizing applies again
@@ -375,6 +392,19 @@ class Coder:
         if self.dec_nb is not None:
             plan = dataclasses.replace(plan, dec_nb=self.dec_nb)
         return plan
+
+    def _plan_for(self, n_points: int) -> BlockPlan:
+        """Density-prior plan (conservative; the pre-round-4 default and
+        the decode retry tier when exact-fit caps overflow)."""
+        cap = _bucket(n_points, self.input_granularity)
+        return self._apply_overrides(BlockPlan.for_cloud(cap, self.res))
+
+    def _plan_from_counts(self, counts) -> BlockPlan:
+        """Exact-fit plan from measured per-scale block counts (see
+        BlockPlan.for_frame) — ~1.7-2.5x less conv work than _plan_for."""
+        return self._apply_overrides(
+            BlockPlan.for_frame(self.res, tuple(counts))
+        )
 
     # --- public API ---------------------------------------------------------
 
@@ -387,7 +417,8 @@ class Coder:
         """
         coords = unique_rows(coords)  # canonical sorted-unique input rows
         n = len(coords)
-        plan = self._plan_for(n)
+        counts = block_counts(coords)
+        plan = self._plan_from_counts(counts)
         cap = _bucket(n, self.input_granularity)
         pack = np.zeros((cap + 1, 3), dtype=np.int32)
         pack[:n] = coords
@@ -413,7 +444,13 @@ class Coder:
             )
         num_points = [int(v) for v in meta[3:6]]
         with open(self.filename + postfix + "_num_points.bin", "wb") as f:
+            # 3 per-scale GT voxel counts (reference semantics,
+            # ref coder.py:86-90) + 4 per-scale occupied-block counts:
+            # the measured footprint that lets the DECODER plan exact-fit
+            # capacities too (BlockPlan.for_frame).  Decoders accept the
+            # legacy 12-byte form (density-prior plan).
             f.write(np.array(num_points, dtype=np.int32).tobytes())
+            f.write(np.array(counts, dtype=np.int32).tobytes())
 
         packed = np.asarray(packed)[:ny]
         ds_coords = packed[:, :3].astype(np.int32)
@@ -431,11 +468,19 @@ class Coder:
         assert feats.shape[0] == m, "feature/coordinate count mismatch"
 
         with open(self.filename + postfix + "_num_points.bin", "rb") as f:
-            num_points = np.frombuffer(f.read(12), dtype=np.int32).tolist()
+            head = np.frombuffer(f.read(28), dtype=np.int32)
+        num_points = head[:3].tolist()
         n_frame = num_points[-1]
         num_points[-1] = int(rho * num_points[-1])  # ref coder.py:107
 
-        plan = self._plan_for(max(n_frame, num_points[-1]))
+        # Plan ladder: exact-fit caps from the header's measured block
+        # counts when present (round-4 streams), then the conservative
+        # density-prior plan as the overflow retry tier / legacy fallback.
+        plans = []
+        if head.size == 7:
+            plans.append(self._plan_from_counts(head[3:7]))
+        plans.append(self._plan_for(max(n_frame, num_points[-1])))
+
         cap_y = _bucket(m, self.prune_granularity)
         pack = np.zeros((cap_y + 1, 3 + feats.shape[1]), dtype=np.float32)
         pack[:m, :3] = coords
@@ -443,19 +488,29 @@ class Coder:
         pack[cap_y, 0] = m
         pack[cap_y, 1:4] = num_points
         out_cap = _bucket(num_points[-1], self.input_granularity)
-        n_slabs = self.streamed_slabs or (8 if plan.res >= 2048 else 0)
-        if n_slabs:
-            decode_fn = self._decode_streamed_fn(
-                plan, out_cap, n_slabs, cap_y
-            )
-        else:
-            decode_fn = self._decode_fn(plan, out_cap, cap_y)
-        oc, meta = decode_fn(self.params, pack)
-        meta = np.asarray(meta)
-        if int(meta[1]):
-            raise RuntimeError(
-                f"decode overflowed the capacity plan "
-                f"(dropped={int(meta[1])}); raise BlockPlan.for_cloud sizing"
+        for tier, plan in enumerate(plans):
+            n_slabs = self.streamed_slabs or (8 if plan.res >= 2048 else 0)
+            if n_slabs:
+                decode_fn = self._decode_streamed_fn(
+                    plan, out_cap, n_slabs, cap_y
+                )
+            else:
+                decode_fn = self._decode_fn(plan, out_cap, cap_y)
+            oc, meta = decode_fn(self.params, pack)
+            meta = np.asarray(meta)
+            if not int(meta[1]):
+                break
+            if tier + 1 == len(plans):
+                raise RuntimeError(
+                    f"decode overflowed the capacity plan "
+                    f"(dropped={int(meta[1])}); raise BlockPlan.for_cloud "
+                    f"sizing"
+                )
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "exact-fit decode caps overflowed (dropped=%d); retrying "
+                "on the density-prior plan", int(meta[1]),
             )
         n_out = int(meta[0])
         return np.asarray(oc)[:n_out].astype(np.int32)

@@ -200,6 +200,50 @@ class BlockPlan:
         )
         return cls(res=res, nb=tuple(nb), dec_nb=dec_nb)
 
+    @classmethod
+    def for_frame(
+        cls,
+        res: int,
+        blocks: Tuple[int, int, int, int],
+        slack: float = 1.2,
+        round_to: int = 512,
+    ) -> "BlockPlan":
+        """Exact-fit plan from MEASURED per-scale occupied-block counts.
+
+        `for_cloud` sizes capacities from per-point density priors — safe
+        but ~1.7-2.5x over the true footprint of a given frame (measured on
+        the 858k-pt vox10 bench frame: nb0 7680 planned vs 4342 live,
+        stage-2 candidates 10752 planned vs ~4800 true), and codec FLOPs
+        scale with these caps.  The codec instead measures the true counts
+        host-side at encode time (one key-dedup pass over coords it already
+        dedups) and carries them in the bitstream header, so BOTH sides
+        plan to the frame.
+
+        blocks: occupied block counts at strides (1, 2, 4, 8).
+
+        The decoder-stage caps derive exactly from these: a stage's
+        candidate grid is the 2x generative upsample of the coarser GT
+        voxels, and since every GT parent has a GT child and a parent's 8
+        children never straddle a block boundary (2v is even, BS a power of
+        two), the candidate blocks EQUAL the finer scale's GT blocks.
+        `slack` covers decode-side drift (top-k false positives lighting
+        blocks GT did not); overflow is still detected at runtime and the
+        codec retries on the conservative `for_cloud` plan.  `round_to`
+        buckets caps so similar frames share jit caches.
+        """
+        def cells(s):  # worst-case occupied blocks at scale s (batch 1)
+            g = max(1, -(-max(1, res >> s) // _BS))
+            return g ** 3 + 1
+
+        def pad(s, n):
+            return min(cells(s), max(
+                round_to, _round_up(int(n * slack) + 1, round_to)))
+
+        nb = tuple(pad(s, b) for s, b in enumerate(blocks))
+        dec_nb = (nb[2], nb[1], nb[0])
+        return cls(res=res, nb=nb, dec_nb=dec_nb, up_factors=(8, 8, 8),
+                   up_caps=dec_nb)
+
     def up_cap(self, stage: int) -> int:
         """Pre-prune cap for decoder stage `stage` (0 = stride 8 -> 4)."""
         if self.up_caps:

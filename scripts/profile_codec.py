@@ -71,7 +71,8 @@ def main():
                   flush=True)
 
     # --- codec phase breakdown -------------------------------------------
-    from pcgcv2_tpu.codec.coder import Coder, _bucket, canonical_order
+    from pcgcv2_tpu.codec.coder import (Coder, _bucket, block_counts,
+                                        canonical_order)
     from pcgcv2_tpu.config import BlockPlan
     from pcgcv2_tpu.data.synthetic import sphere_cloud, torus_cloud
     from pcgcv2_tpu.data.voxelize import collate, unique_rows
@@ -111,7 +112,11 @@ def main():
     print(f"  unique_rows                                "
           f"{(time.perf_counter() - t0) * 1e3:9.1f} ms", flush=True)
     n = len(ucoords)
-    plan = coder._plan_for(n)
+    t0 = time.perf_counter()
+    counts = block_counts(ucoords)
+    print(f"  block_counts (exact-fit plan input)        "
+          f"{(time.perf_counter() - t0) * 1e3:9.1f} ms", flush=True)
+    plan = coder._plan_from_counts(counts)
     cap = _bucket(n, coder.input_granularity)
     y_cap = _bucket(max(n // 16, 1), coder.prune_granularity)
 
@@ -176,7 +181,7 @@ def main():
     with open(coder.filename + "_d_num_points.bin", "rb") as f:
         num_points = np.frombuffer(f.read(12), dtype=np.int32).tolist()
     n_frame = num_points[-1]
-    dplan = coder._plan_for(n_frame)
+    dplan = coder._plan_from_counts(counts)
     cap_y = _bucket(m, coder.prune_granularity)
     pack2 = np.zeros((cap_y + 1, 3 + dfeats.shape[1]), dtype=np.float32)
     pack2[:m, :3] = dcoords

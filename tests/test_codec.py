@@ -127,9 +127,31 @@ def test_bitstream_files_exist(ctx):
     coder.encode(cloud, postfix="_r1")
     sizes = coder.bitstream_bytes(postfix="_r1")
     assert set(sizes) == {"_C.bin", "_F.bin", "_H.bin", "_num_points.bin"}
-    assert sizes["_num_points.bin"] == 12
+    # 3 per-scale GT voxel counts (ref semantics) + 4 measured per-scale
+    # occupied-block counts for the decoder's exact-fit plan
+    assert sizes["_num_points.bin"] == 28
     assert sizes["_H.bin"] == 8 + 1 + 4 + 4  # ref header layout coder.py:51-55
     assert sizes["_C.bin"] > 0
+
+
+def test_decode_accepts_legacy_12_byte_header(ctx):
+    """Round-3 streams carry only the 3 GT voxel counts; the decoder must
+    fall back to the density-prior plan and still reconstruct."""
+    cloud = sphere_cloud(48, density=1.5, seed=8)
+    coder = ctx["coder"]
+    coder.encode(cloud, postfix="_lg")
+    new = coder.decode(rho=1.0, postfix="_lg")
+
+    hdr = coder.filename + "_lg_num_points.bin"
+    with open(hdr, "rb") as f:
+        full = f.read()
+    assert len(full) == 28
+    with open(hdr, "wb") as f:
+        f.write(full[:12])  # strip the round-4 block-count extension
+    legacy = coder.decode(rho=1.0, postfix="_lg")
+    np.testing.assert_array_equal(
+        legacy[canonical_order(legacy)], new[canonical_order(new)]
+    )
 
 
 def test_coordinate_codec_roundtrips_any_order(ctx):
