@@ -32,11 +32,17 @@ def parse_args(argv=None):
     p.add_argument("--res", type=int, default=1024)
     p.add_argument("--rho", type=float, default=1.0)
     p.add_argument("--ckpts", nargs="*", default=DEFAULT_CKPTS)
+    p.add_argument("--dtype", default="bfloat16",
+                   choices=["bfloat16", "float32"],
+                   help="conv compute dtype (bfloat16 = production)")
+    p.add_argument("--cold_times", action="store_true",
+                   help="skip the warm-up rep: time(enc)/time(dec) include "
+                        "jit compiles (reference CSVs are steady-state)")
     return p.parse_args(argv)
 
 
 def run_sweep(filedir, ckptdir_list, outdir, resultdir,
-              scaling_factor=1.0, rho=1.0, res=1024):
+              scaling_factor=1.0, rho=1.0, res=1024, warmup=True):
     import pandas as pd
 
     from pcgcv2_tpu.codec.coder import Coder
@@ -73,6 +79,18 @@ def run_sweep(filedir, ckptdir_list, outdir, resultdir,
             scale_coords(coords, scaling_factor)
             if scaling_factor != 1 else coords
         )
+
+        if warmup and idx == 0:
+            # Warm-up rep: compile every jit (shared across rate points —
+            # same frame, same capacity plan) OUTSIDE the timed reps, so
+            # the CSV's time(enc)/time(dec) columns are steady-state like
+            # the reference's (round-4 CSVs had a 152 s compile folded
+            # into r1's time(enc)).
+            start = time.time()
+            coder.encode(x_in, postfix="_warm")
+            coder.decode(rho=rho, postfix="_warm")
+            print("Warm-up (compiles):\t", round(time.time() - start, 3),
+                  "s")
 
         start = time.time()
         coder.encode(x_in, postfix=postfix)
@@ -159,11 +177,14 @@ def main(argv=None):
     import jax
 
     from pcgcv2_tpu.cache import enable_persistent_cache
+    from pcgcv2_tpu.ops import blocks as B
 
     enable_persistent_cache(jax)
+    B.set_compute_dtype(args.dtype)
     results = run_sweep(
         args.filedir, args.ckpts, args.outdir, args.resultdir,
         scaling_factor=args.scaling_factor, rho=args.rho, res=args.res,
+        warmup=not args.cold_times,
     )
     plot_rd(results, args.filedir, args.resultdir)
 

@@ -194,6 +194,22 @@ class Coder:
 
     # --- jit-cached model/stage builders -----------------------------------
 
+    @staticmethod
+    def _log_new_fn(kind: str, plan: BlockPlan, **caps) -> None:
+        """Surface jit-cache misses: on multi-frame workloads with drifting
+        footprints, every distinct (plan, cap) key is a fresh XLA compile —
+        minutes over a cold tunnel — so the event must be visible rather
+        than silently folded into a frame's wall-clock."""
+        import logging
+
+        logging.getLogger(__name__).info(
+            "building %s jit for plan nb=%s res=%d %s (new compile unless "
+            "the persistent cache hits; bucket sizes via "
+            "input_granularity/prune_granularity)",
+            kind, plan.nb, plan.res,
+            " ".join(f"{k}={v}" for k, v in caps.items()),
+        )
+
     def _model(self, plan: BlockPlan) -> PCCModel:
         if plan not in self._models:
             self._models[plan] = PCCModel(
@@ -201,33 +217,55 @@ class Coder:
             )
         return self._models[plan]
 
+    # Un-chunked conv3 budget for codec traces.  MEASURED SLOWER on the
+    # real chip (scripts/ab_conv_r5.py: direct 81 ms vs chunk512 59 ms at
+    # the vox10 stage-2 shape — the monolithic gather+concat graph beats
+    # the lax.map loop on op count but loses on fusion quality), so it
+    # stays 0 (chunked path everywhere).  Kept as a knob for future
+    # backends where loop overhead dominates.
+    DIRECT_HALO_BYTES = 0
+
     @functools.lru_cache(maxsize=None)
     def _encode_fn(self, plan: BlockPlan, cap: int, y_cap: int):
         """Packed-transfer analysis transform.
 
         The TPU sits behind a high-latency tunnel here: every host->device
-        transfer pays a large fixed cost (measured ~0.75 s regardless of
-        size) and D2H runs ~20 MB/s, so the jit takes ONE packed int32
-        array ([cap+1, 3] xyz rows + a trailing metadata row holding the
-        row count) and returns ONE packed f32 array ([y_cap, 3+C]
-        bottleneck ds-coords + features, canonically sorted on device)
-        plus a 6-int metadata vector.  Input may contain duplicate rows
-        (identical all-ones payloads): blockify's slot scatter dedups
-        them; GT counts use the deduped voxel counts.
+        transfer pays a large fixed cost and limited bandwidth (~60 MB/s
+        H2D measured), so the jit takes ONE packed coordinate array —
+        Morton-style uint32 [cap] ((x<<20)|(y<<10)|z) at res <= 1024,
+        uint16 [cap, 3] xyz rows above (res <= 4096 < 2^16 by contract) —
+        plus a tiny int32 row count, and returns ONE packed f32 array:
+        [y_cap + 1, 3+C] bottleneck ds-coords + features (canonically
+        sorted on device) with a trailing metadata row (ny, dropped,
+        n_unique, 3 GT counts — f32 holds counts exactly up to 2^24).
+        One array each way = one transfer round-trip each way.  Input may
+        contain duplicate rows (identical all-ones payloads): blockify's
+        slot scatter dedups them; GT counts use the deduped voxel counts.
         """
         model = self._model(plan)
         res_y = max(1, plan.res // 8)
+        morton = plan.res <= 1024
+        self._log_new_fn("encode", plan, cap=cap, y_cap=y_cap)
 
         @jax.jit
-        def fn(params, pack):
-            n = pack[cap, 0]
+        def fn(params, pack, n_arr):
+            n = n_arr[0]
             valid = jnp.arange(cap, dtype=jnp.int32) < n
+            if morton:
+                p = pack.astype(jnp.uint32)
+                xyz = jnp.stack(
+                    [(p >> 20) & 1023, (p >> 10) & 1023, p & 1023],
+                    axis=1,
+                ).astype(jnp.int32)
+            else:
+                xyz = pack.astype(jnp.int32)
             rows = jnp.concatenate(
-                [jnp.zeros((cap, 1), jnp.int32), pack[:cap]], axis=1
+                [jnp.zeros((cap, 1), jnp.int32), xyz], axis=1
             )
-            y, nums, n_unique = model.apply(
-                params, rows, valid, method=PCCModel.encode_fn
-            )
+            with B.conv3_direct_bytes(Coder.DIRECT_HALO_BYTES):
+                y, nums, n_unique = model.apply(
+                    params, rows, valid, method=PCCModel.encode_fn
+                )
             yc, yf, ny = B.extract(y, y_cap)
             ds = yc[:, 1:] // 8
             # canonical order (module docstring): ascending (x, y, z)
@@ -242,10 +280,26 @@ class Coder:
             meta = jnp.stack(
                 [ny, y.dropped, n_unique, nums[0][0], nums[1][0],
                  nums[2][0]]
-            )
-            return packed, meta
+            ).astype(jnp.float32)
+            meta_row = jnp.zeros((1, packed.shape[1]), jnp.float32)
+            meta_row = meta_row.at[0, :6].set(meta)
+            return jnp.concatenate([packed, meta_row], axis=0)
 
         return fn
+
+    @staticmethod
+    def _pack_input(coords: np.ndarray, cap: int, res: int) -> np.ndarray:
+        """Host twin of _encode_fn's input spec (see its docstring)."""
+        n = len(coords)
+        if res <= 1024:
+            c = np.asarray(coords, np.int64)
+            key = ((c[:, 0] << 20) | (c[:, 1] << 10) | c[:, 2])
+            pack = np.zeros((cap,), dtype=np.uint32)
+            pack[:n] = key.astype(np.uint32)
+        else:
+            pack = np.zeros((cap, 3), dtype=np.uint16)
+            pack[:n] = coords
+        return pack
 
     @staticmethod
     def _unpack_bottleneck(pack, cap_y: int, nb3: int, res_y: int):
@@ -271,7 +325,7 @@ class Coder:
         return y, nums
 
     @functools.lru_cache(maxsize=None)
-    def _decode_fn(self, plan: BlockPlan, out_cap: int, cap_y: int):
+    def _decode_fn(self, plan: BlockPlan, cap_y: int):
         model = self._model(plan)
         nb3 = plan.nb[3]
         # The bottleneck grid lives at stride 8: its grid resolution is
@@ -280,25 +334,52 @@ class Coder:
         # (512x cells) lookup table and the three conv_up doublings would
         # then blow past MAX_TABLE_CELLS at vox10.
         res_y = max(1, plan.res // 8)
+        self._log_new_fn("decode", plan, cap_y=cap_y)
 
         @jax.jit
         def fn(params, pack):
             y, nums = Coder._unpack_bottleneck(pack, cap_y, nb3, res_y)
             nums_list = [nums[0:1], nums[1:2], nums[2:3]]
-            out = model.apply(
-                params, y, nums_list, method=PCCModel.decode_fn
-            )
-            oc, _, cnt = B.extract(out, out_cap, with_feats=False)
-            # uint16 halves D2H bytes (res <= 4096 < 2^16 by contract)
-            return oc[:, 1:].astype(jnp.uint16), jnp.stack(
-                [cnt, out.dropped]
-            )
+            with B.conv3_direct_bytes(Coder.DIRECT_HALO_BYTES):
+                out = model.apply(
+                    params, y, nums_list, method=PCCModel.decode_fn
+                )
+            # Host-side extraction: ship block coords + bit-packed slot
+            # occupancy (2.9 MB at vox10) instead of running the 23M-row
+            # extract scatter on device (~107 ms — round-5 trace).
+            return Coder._merge_decode_out(out, out.dropped)
 
         return fn
 
+    @staticmethod
+    def _merge_decode_out(out, dropped):
+        """ONE int32 output array [nb+1, VOL//32 + 3]: bit-packed slot
+        occupancy as little-endian words, block xyz coords, and a trailing
+        metadata row (voxel count, dropped) — one D2H round-trip instead
+        of three (each fetch over the tunnel pays a fixed latency)."""
+        bc, bits = B.pack_occupancy(out)
+        b = bits.reshape(out.nb_cap, B.VOL // 32, 4).astype(jnp.int32)
+        words = (b[..., 0] | (b[..., 1] << 8) | (b[..., 2] << 16)
+                 | (b[..., 3] << 24))
+        arr = jnp.concatenate([words, bc.astype(jnp.int32)], axis=1)
+        meta_row = jnp.zeros((1, arr.shape[1]), jnp.int32)
+        meta_row = meta_row.at[0, 0].set(out.voxel_count())
+        meta_row = meta_row.at[0, 1].set(dropped)
+        return jnp.concatenate([arr, meta_row], axis=0)
+
+    @staticmethod
+    def _split_decode_out(a: np.ndarray):
+        """(meta [count, dropped], block coords int32 [nb, 3], slot bits
+        uint8 [nb, VOL//8]) from _merge_decode_out's array (host side)."""
+        w = a.shape[1] - 3
+        meta = a[-1, :2]
+        bc = a[:-1, w:]
+        bits = np.ascontiguousarray(a[:-1, :w]).view(np.uint8)
+        return meta, bc, bits
+
     @functools.lru_cache(maxsize=None)
-    def _decode_streamed_fn(self, plan: BlockPlan, out_cap: int,
-                            n_slabs: int, cap_y: int):
+    def _decode_streamed_fn(self, plan: BlockPlan, n_slabs: int,
+                            cap_y: int):
         """Memory-bounded decode: stages 0-1 whole, final stage streamed
         over x-slabs of blocks (1-block halo; the stage's receptive field
         is 8 voxels).  Candidate FEATURES exist only per-slab; globally only
@@ -309,30 +390,51 @@ class Coder:
         nb3 = plan.nb[3]
         res_y = max(1, plan.res // 8)
         cand_cap = plan.up_cap(2)
-        # generous per-slab caps: equal x-ranges are density-imbalanced on
-        # real content, so budget ~4x the mean (+1 halo share); overflow is
-        # detected (dropped counter) and raises rather than corrupting.
-        # Floors scale with the plan (a fixed 1024-block floor is 4.2M
-        # slots at BS=16 — pathological for small frames).
-        sub_in_cap = max(32, plan.dec_nb[1] * 4 // n_slabs)
-        sub_cand_cap = max(256, plan.up_cap(2) * 4 // n_slabs)
+        # Per-slab caps.  Slab boundaries are EQUAL-COUNT quantiles of the
+        # sorted block x-coords (blocks are sorted by (b, bx, by, bz), so
+        # the valid prefix's bx is nondecreasing and boundary ranks index
+        # it directly) — the round-4 equal-x-RANGE slabs needed 4x-mean
+        # caps against density imbalance, which made the 8-slab vox12
+        # decode do ~4x the monolithic conv work (7.86 s vs the reference
+        # 2.3 s).  Quantile slabs are count-balanced up to plane
+        # granularity, so 2x mean (halo planes + candidate drift) is
+        # enough; overflow is detected (dropped counter) and retried on
+        # the density-prior tier.  Floors scale with the plan.
+        sub_in_cap = max(32, plan.dec_nb[1] * 2 // n_slabs)
+        sub_cand_cap = max(256, plan.up_cap(2) * 2 // n_slabs)
+        self._log_new_fn("streamed-decode", plan, cap_y=cap_y,
+                         n_slabs=n_slabs)
 
         @jax.jit
         def fn(params, pack):
             y, nums = Coder._unpack_bottleneck(pack, cap_y, nb3, res_y)
-            out = model.apply(
-                params, y, [nums[0:1], nums[1:2]],
-                method=PCCModel.decode_coarse_fn,
-            )
+            with B.conv3_direct_bytes(Coder.DIRECT_HALO_BYTES):
+                out = model.apply(
+                    params, y, [nums[0:1], nums[1:2]],
+                    method=PCCModel.decode_coarse_fn,
+                )
             cand = B.conv_up_structure(out, cand_cap)
             g_in = B.grid_dim(out.res)
             logits0 = jnp.zeros((cand_cap, B.VOL), jnp.float32)
 
+            # equal-count slab boundaries: bounds[i] = bx at rank
+            # i * count / n_slabs; slab i owns bx in [bounds[i],
+            # bounds[i+1]) — disjoint, covering, count-balanced
+            bx = out.coords[:, 1]
+            ranks = (
+                jnp.arange(1, n_slabs, dtype=jnp.int32) * out.count
+                // n_slabs
+            )
+            bounds = jnp.concatenate([
+                jnp.zeros((1,), jnp.int32),
+                bx[jnp.clip(ranks, 0, out.nb_cap - 1)],
+                jnp.full((1,), g_in, jnp.int32),
+            ])
+
             def body(i, carry):
                 logits, extra_drops = carry
-                ia = i * g_in // n_slabs
-                ib = (i + 1) * g_in // n_slabs
-                bx = out.coords[:, 1]
+                ia = bounds[i]
+                ib = bounds[i + 1]
                 keep_blocks = (bx >= ia - 1) & (bx < ib + 1)
                 sub = B.compact_where(out, keep_blocks, sub_in_cap)
                 sub_cls = model.apply(
@@ -364,10 +466,8 @@ class Coder:
             )
             keep = B.topk_mask(cand, logits, nums[2:3])
             pruned = B.prune(cand, keep)
-            oc, _, cnt = B.extract(pruned, out_cap, with_feats=False)
-            # uint16 halves D2H bytes (res <= 4096 < 2^16 by contract)
-            return oc[:, 1:].astype(jnp.uint16), jnp.stack(
-                [cnt, cand.dropped + extra_drops]
+            return Coder._merge_decode_out(
+                pruned, cand.dropped + extra_drops
             )
 
         return fn
@@ -420,21 +520,22 @@ class Coder:
         counts = block_counts(coords)
         plan = self._plan_from_counts(counts)
         cap = _bucket(n, self.input_granularity)
-        pack = np.zeros((cap + 1, 3), dtype=np.int32)
-        pack[:n] = coords
-        pack[cap, 0] = n
+        pack = Coder._pack_input(coords, cap, plan.res)
+        n_arr = np.array([n], dtype=np.int32)
         # Bottleneck voxel count is ~n/50 on surface content (3 halvings of
         # a 2-D surface); n/16 is a comfortable cap, with a one-time re-jit
         # fallback at full cap if a pathological frame overflows it.
         y_cap = _bucket(max(n // 16, 1), self.prune_granularity)
-        packed, meta = self._encode_fn(plan, cap, y_cap)(self.params, pack)
-        meta = np.asarray(meta)
+        out = np.asarray(self._encode_fn(plan, cap, y_cap)(
+            self.params, pack, n_arr
+        ))
+        packed, meta = out[:-1], out[-1, :6]
         if int(meta[0]) >= y_cap:
             y_cap = cap
-            packed, meta = self._encode_fn(plan, cap, y_cap)(
-                self.params, pack
-            )
-            meta = np.asarray(meta)
+            out = np.asarray(self._encode_fn(plan, cap, y_cap)(
+                self.params, pack, n_arr
+            ))
+            packed, meta = out[:-1], out[-1, :6]
         ny, n_drop, n_in = int(meta[0]), int(meta[1]), int(meta[2])
         if n_drop or n_in != n or ny >= y_cap:
             raise RuntimeError(
@@ -452,7 +553,7 @@ class Coder:
             f.write(np.array(num_points, dtype=np.int32).tobytes())
             f.write(np.array(counts, dtype=np.int32).tobytes())
 
-        packed = np.asarray(packed)[:ny]
+        packed = packed[:ny]
         ds_coords = packed[:, :3].astype(np.int32)
         feats = packed[:, 3:]
         self.feature_coder.encode(feats, postfix)
@@ -478,7 +579,20 @@ class Coder:
         # density-prior plan as the overflow retry tier / legacy fallback.
         plans = []
         if head.size == 7:
-            plans.append(self._plan_from_counts(head[3:7]))
+            p = self._plan_from_counts(head[3:7])
+            if rho > 1.0:
+                # rho densifies only the final-scale top-k (ref
+                # coder.py:107): kept voxels can light more blocks than
+                # the measured footprint, but never more than the
+                # candidate grid holds — raise the final post-prune cap
+                # to the candidate cap instead of burning a wasted full
+                # decode + recompile on the density-prior retry tier.
+                import dataclasses
+
+                p = dataclasses.replace(
+                    p, dec_nb=(p.dec_nb[0], p.dec_nb[1], p.up_cap(2))
+                )
+            plans.append(p)
         plans.append(self._plan_for(max(n_frame, num_points[-1])))
 
         cap_y = _bucket(m, self.prune_granularity)
@@ -487,17 +601,15 @@ class Coder:
         pack[:m, 3:] = feats
         pack[cap_y, 0] = m
         pack[cap_y, 1:4] = num_points
-        out_cap = _bucket(num_points[-1], self.input_granularity)
         for tier, plan in enumerate(plans):
             n_slabs = self.streamed_slabs or (8 if plan.res >= 2048 else 0)
             if n_slabs:
-                decode_fn = self._decode_streamed_fn(
-                    plan, out_cap, n_slabs, cap_y
-                )
+                decode_fn = self._decode_streamed_fn(plan, n_slabs, cap_y)
             else:
-                decode_fn = self._decode_fn(plan, out_cap, cap_y)
-            oc, meta = decode_fn(self.params, pack)
-            meta = np.asarray(meta)
+                decode_fn = self._decode_fn(plan, cap_y)
+            meta, bc, bits = Coder._split_decode_out(
+                np.asarray(decode_fn(self.params, pack))
+            )
             if not int(meta[1]):
                 break
             if tier + 1 == len(plans):
@@ -513,7 +625,9 @@ class Coder:
                 "on the density-prior plan", int(meta[1]),
             )
         n_out = int(meta[0])
-        return np.asarray(oc)[:n_out].astype(np.int32)
+        out = B.host_extract(bc, bits)
+        assert len(out) == n_out, "host extraction count mismatch"
+        return out
 
     def bitstream_bytes(self, postfix: str = "") -> dict:
         """Sizes of the 4 bitstream files (ref test.py:63-66)."""

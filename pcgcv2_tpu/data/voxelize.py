@@ -54,6 +54,10 @@ def unique_rows(coords: np.ndarray) -> np.ndarray:
     path, so it matters.  Coordinates must be non-negative and < 2^21."""
     c = np.asarray(coords, dtype=np.int64)
     key = (c[:, 0] << 42) | (c[:, 1] << 21) | c[:, 2]
+    if len(key) and np.all(key[1:] > key[:-1]):
+        # already sorted-unique (voxelizer/codec outputs are): skip the
+        # O(n log n) sort — this sits in the per-frame encode path
+        return np.ascontiguousarray(np.asarray(coords, np.int32))
     ku = np.unique(key)
     out = np.empty((len(ku), 3), np.int32)
     out[:, 0] = ku >> 42

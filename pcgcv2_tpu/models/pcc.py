@@ -48,10 +48,20 @@ class PCCModel(nn.Module):
             init_scale=self.config.entropy_init_scale,
         )
 
-    def blockify(self, coords: jax.Array, valid: jax.Array) -> BlockGrid:
-        """Padded voxel rows -> full-resolution BlockGrid (feats = mask)."""
+    def blockify(
+        self, coords: jax.Array, valid: jax.Array, dtype=jnp.float32
+    ) -> BlockGrid:
+        """Padded voxel rows -> full-resolution BlockGrid (feats = mask).
+
+        `dtype` sets the activation STORAGE dtype for the whole pyramid
+        (conv outputs inherit it).  Training keeps float32; the codec
+        encode path passes the compute dtype (bfloat16 in production) —
+        at vox11 whole-frame scale the f32 activations alone were 18.2 GB
+        (over one v5e's 15.75 GB); bf16 storage halves that, mirroring
+        what the decode path already does in Coder._unpack_bottleneck.
+        """
         bg = B.blockify(
-            coords, valid[:, None].astype(jnp.float32), valid,
+            coords, valid[:, None].astype(dtype), valid,
             self.plan.nb[0], stride=1, res=self.plan.res,
             num_batches=self.num_batches,
         )
@@ -102,7 +112,7 @@ class PCCModel(nn.Module):
         overflow from blockify through the bottleneck; the codec must check
         both it and n_in against the host-side point count before emitting a
         bitstream."""
-        x = self.blockify(coords, valid)
+        x = self.blockify(coords, valid, dtype=B.COMPUTE_DTYPE)
         y, out1, out0 = self.encoder(x)
         nums = [gt.voxels_per_batch() for gt in [out1, out0, x]]
         return y, nums, x.voxel_count()

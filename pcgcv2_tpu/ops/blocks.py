@@ -333,6 +333,76 @@ def extract(
     return out_c, out_f, count
 
 
+def pack_occupancy(bg: BlockGrid) -> Tuple[jax.Array, jax.Array]:
+    """Bit-pack the valid occupancy for host-side extraction.
+
+    Returns (block xyz coords uint16 [nb_cap, 3], slot bits uint8
+    [nb_cap, VOL // 8]).  The decode path's device-side `extract` was the
+    single hottest op of the decode jit (a 23M-row index scatter, ~107 ms
+    at vox10 — round-5 trace); shipping the mask as packed bits (~VOL/8
+    bytes per block, 2.9 MB at vox10) and expanding on the host via
+    np.unpackbits + nonzero costs ~25 ms of host time instead and halves
+    the D2H volume.  Bit order matches np.unpackbits(bitorder='big');
+    np.nonzero's row-major order reproduces `extract`'s canonical
+    block-scan order exactly.
+    """
+    m = bg.mask & bg.valid[:, None]
+    w = jnp.asarray([128, 64, 32, 16, 8, 4, 2, 1], jnp.uint8)
+    bits = jnp.sum(
+        m.reshape(bg.nb_cap, VOL // 8, 8).astype(jnp.uint8) * w,
+        axis=-1, dtype=jnp.uint8,
+    )
+    return bg.coords[:, 1:].astype(jnp.uint16), bits
+
+
+# byte -> set-bit-position lookup tables for host_extract (MSB-first to
+# match np.packbits/unpackbits 'big' order)
+_BIT_CNT = np.array([bin(v).count("1") for v in range(256)], np.int32)
+_BIT_OFF = np.zeros(257, np.int32)
+_BIT_POS = []
+for _v in range(256):
+    _p = sorted(7 - i for i in range(8) if (_v >> i) & 1)
+    _BIT_POS.append(np.array(_p, np.int32))
+    _BIT_OFF[_v + 1] = _BIT_OFF[_v] + len(_p)
+_BIT_POS = (np.concatenate(_BIT_POS) if _BIT_POS
+            else np.zeros(0, np.int32)).astype(np.int32)
+del _v, _p
+
+_LOG_BS = int(BS).bit_length() - 1
+
+
+def host_extract(bcoords: np.ndarray, bits: np.ndarray,
+                 stride: int = 1) -> np.ndarray:
+    """Host twin of `extract` (coords only): expand `pack_occupancy` output
+    to int32 [n, 3] voxel coords in canonical block-scan order.
+
+    LUT formulation (nonzero bytes -> per-byte bit positions) instead of
+    unpackbits + nonzero over all nb*VOL slots: 74 ms vs 180 ms at vox10
+    (measured; int32 throughout, shift/mask arithmetic)."""
+    flat = np.asarray(bits).reshape(-1)
+    nzb = np.flatnonzero(flat).astype(np.int32)
+    vals = flat[nzb]
+    k = _BIT_CNT[vals]
+    seg_end = np.cumsum(k, dtype=np.int32)
+    total = int(seg_end[-1]) if len(seg_end) else 0
+    if total == 0:
+        return np.zeros((0, 3), np.int32)
+    seg_start = np.repeat(seg_end - k, k)
+    within = np.arange(total, dtype=np.int32) - seg_start
+    bitpos = _BIT_POS[np.repeat(_BIT_OFF[vals], k) + within]
+    flatbit = (np.repeat(nzb, k) << 3) + bitpos
+    rows = flatbit >> (3 * _LOG_BS)
+    slots = flatbit & (VOL - 1)
+    bc = np.asarray(bcoords, np.int32)
+    out = np.empty((total, 3), np.int32)
+    out[:, 0] = (bc[rows, 0] << _LOG_BS) + (slots >> (2 * _LOG_BS))
+    out[:, 1] = (bc[rows, 1] << _LOG_BS) + ((slots >> _LOG_BS) & (BS - 1))
+    out[:, 2] = (bc[rows, 2] << _LOG_BS) + (slots & (BS - 1))
+    if stride != 1:
+        out *= stride
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Neighborhood structure and 3^3 convolution
 # ---------------------------------------------------------------------------
@@ -367,6 +437,35 @@ def neighbor_rows(bg: BlockGrid) -> jax.Array:
 # batch large while bounding the per-chunk halo to
 # CHUNK * (BS+2)^3 * C floats (~1 GB at C=64 f32) regardless of grid size.
 CONV3_CHUNK = max(256, 4096 * 512 // VOL)
+
+# Inference-only escape hatch from the chunked conv3 path.  The lax.map
+# chunking bounds halo HBM (vital in training where the batch multiplies
+# block counts and backward keeps remat chunks alive), but costs a storm of
+# tiny per-chunk ops: the round-4 trace showed the decode jit spending
+# ~170 ms/frame in while-loop overhead at vox10 shapes whose WHOLE halo is
+# only ~1 GB.  Codec entry points wrap their traces in
+# `conv3_direct_bytes(...)` so any conv whose full halo fits the budget runs
+# monolithically; training never sets it, so its memory profile is
+# unchanged.  Trace-time state (a plain global read while jit traces).
+_DIRECT_HALO_BYTES = 0
+
+
+class conv3_direct_bytes:
+    """Context manager: allow monolithic (un-chunked) conv3 up to `n` halo
+    bytes during tracing.  Inference only — the direct path saves full
+    halos for backward, which defeats the training remat."""
+
+    def __init__(self, n: int):
+        self.n = n
+
+    def __enter__(self):
+        global _DIRECT_HALO_BYTES
+        self.prev = _DIRECT_HALO_BYTES
+        _DIRECT_HALO_BYTES = self.n
+
+    def __exit__(self, *exc):
+        global _DIRECT_HALO_BYTES
+        _DIRECT_HALO_BYTES = self.prev
 
 _SL = {0: (BS - 1, BS), 1: (0, BS), 2: (0, 1)}  # neighbor-offset -> slab slice
 
@@ -546,7 +645,10 @@ def conv3(
     nb = bg.nb_cap
     blk = bg.feats.astype(compute_dtype).reshape(nb, BS, BS, BS * ch)
     slabs = _halo_slabs(blk, ch)  # shared by every chunk (loop-invariant)
-    if nb <= 2 * CONV3_CHUNK:
+    halo_bytes = (
+        nb * (BS + 2) ** 3 * ch * jnp.dtype(compute_dtype).itemsize
+    )
+    if nb <= 2 * CONV3_CHUNK or halo_bytes <= _DIRECT_HALO_BYTES:
         h = _halo_chunk(blk, nbrs, ch, slabs)
         out = _conv3_dense(h, weight, bias, compute_dtype)
         out = out.reshape(nb, VOL, -1)
@@ -638,7 +740,10 @@ def conv_down(
     hh = BS // 2
     m = bg.mask.reshape(nb, hh, 2, hh, 2, hh, 2)
     m_down = m.any(axis=(2, 4, 6))  # [nb, BS/2, BS/2, BS/2]
-    y = jnp.where(m_down[..., None], y, 0).astype(bg.feats.dtype)
+    # No masking of y here: bias-polluted values at unoccupied cells and
+    # invalid rows are zeroed by the single post-gather mask below (pf via
+    # pm) — the same slots, one full-tensor pass saved (trace round 5).
+    y = y.astype(bg.feats.dtype)
 
     # parent block set: parent coord = block coord // 2
     pkey = _flat_block_key(
@@ -739,7 +844,11 @@ def conv_up_generative(
     m_big = jnp.broadcast_to(
         m, (nb, BS, 2, BS, 2, BS, 2)
     ).reshape(nb, d2, d2, d2)
-    y_big = jnp.where(m_big[..., None], y_big, 0).astype(bg.feats.dtype)
+    # No masking of y_big: the post-scatter mask below (of via om) zeros the
+    # same slots — bias-on-empty, invalid parent rows AND sentinel-row
+    # clobber from overflow-dropped child blocks (om & ovalid) — saving one
+    # pass over the 8x-block-size candidate tensor (trace round 5).
+    y_big = y_big.astype(bg.feats.dtype)
     y_fold = y_big.reshape(nb, d2, d2, d2 * cout)
 
     child_f_parts = []

@@ -120,14 +120,13 @@ def main():
     cap = _bucket(n, coder.input_granularity)
     y_cap = _bucket(max(n // 16, 1), coder.prune_granularity)
 
-    pack = np.zeros((cap + 1, 3), dtype=np.int32)
-    pack[:n] = ucoords
-    pack[cap, 0] = n
+    pack = Coder._pack_input(ucoords, cap, plan.res)
+    n_arr = np.array([n], dtype=np.int32)
     enc_fn = coder._encode_fn(plan, cap, y_cap)
     print("  [compiling encode...]", flush=True)
     t0 = time.perf_counter()
-    packed, meta = enc_fn(coder.params, pack)
-    sync(meta)
+    out = enc_fn(coder.params, pack, n_arr)
+    sync(out)
     print(f"  encode compile+first run                   "
           f"{(time.perf_counter() - t0):9.1f} s", flush=True)
 
@@ -135,25 +134,27 @@ def main():
         d = jax.device_put(pack)
         sync(d)
 
-    timed(f"H2D pack [{cap + 1},3] int32 "
-          f"({pack.nbytes / 1e6:.1f} MB)", up_pack)
+    timed(f"H2D pack ({pack.nbytes / 1e6:.1f} MB)", up_pack)
     dpack = jax.device_put(pack)
     sync(dpack)
 
+    dn = jax.device_put(n_arr)
+
     def run_enc():
-        packed, meta = enc_fn(coder.params, dpack)
-        sync(meta)
+        out = enc_fn(coder.params, dpack, dn)
+        sync(out)
 
     timed("encode jit (device-resident in)", run_enc)
-    packed, meta = enc_fn(coder.params, dpack)
-    sync(meta)
-    ny = int(np.asarray(meta)[0])
+    out = enc_fn(coder.params, dpack, dn)
+    sync(out)
+    host_out = np.asarray(out)
+    ny = int(host_out[-1, 0])
     print(f"  [bottleneck ny = {ny}]", flush=True)
-    timed(f"D2H packed [{packed.shape[0]},{packed.shape[1]}] f32 "
-          f"({np.prod(packed.shape) * 4 / 1e6:.1f} MB)",
-          lambda: np.asarray(packed))
+    timed(f"D2H packed [{out.shape[0]},{out.shape[1]}] f32 "
+          f"({np.prod(out.shape) * 4 / 1e6:.1f} MB)",
+          lambda: np.asarray(out))
 
-    host_packed = np.asarray(packed)[:ny]
+    host_packed = host_out[:ny]
     ds_s = host_packed[:, :3].astype(np.int32)
     f_s = host_packed[:, 3:]
     timed("feature rANS encode (host pmf + rANS)",
@@ -189,7 +190,7 @@ def main():
     pack2[cap_y, 0] = m
     pack2[cap_y, 1:4] = num_points
     out_cap = _bucket(n_frame, coder.input_granularity)
-    dec_fn = coder._decode_fn(dplan, out_cap, cap_y)
+    dec_fn = coder._decode_fn(dplan, cap_y)
 
     timed(f"H2D pack2 [{cap_y + 1},{pack2.shape[1]}] f32 "
           f"({pack2.nbytes / 1e6:.1f} MB)",
@@ -198,15 +199,19 @@ def main():
     sync(dpack2)
 
     def run_dec():
-        oc, meta2 = dec_fn(coder.params, dpack2)
-        sync(meta2)
+        out2 = dec_fn(coder.params, dpack2)
+        sync(out2)
 
     timed("decode jit (device-resident in)", run_dec)
-    oc, meta2 = dec_fn(coder.params, dpack2)
-    sync(meta2)
-    timed(f"D2H decoded coords [{oc.shape[0]},3] uint16 "
-          f"({np.prod(oc.shape) * 2 / 1e6:.1f} MB)",
-          lambda: np.asarray(oc))
+    out2 = dec_fn(coder.params, dpack2)
+    sync(out2)
+    timed(f"D2H merged occupancy ({np.prod(out2.shape) * 4 / 1e6:.1f} MB)",
+          lambda: np.asarray(out2))
+    from pcgcv2_tpu.ops import blocks as _B
+
+    meta2, hbc, hbits = Coder._split_decode_out(np.asarray(out2))
+    timed("host extract (LUT)",
+          lambda: _B.host_extract(hbc, hbits))
 
     # end-to-end for reference
     for i in range(2):
