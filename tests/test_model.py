@@ -146,3 +146,49 @@ def test_grads_and_overfit():
             assert nonzero > len(flat) * 0.9
     assert all(np.isfinite(losses))
     assert np.mean(losses[-3:]) < np.mean(losses[:3])
+
+
+@pytest.mark.slow
+def test_remat_semantic_equivalence():
+    """Loss and grads are identical with remat_training on vs off
+    (jax.checkpoint is semantically transparent; this covers the
+    production-default remat path the rest of the suite disables for
+    XLA:CPU compile time — round-4 advisor finding).
+
+    Kept minuscule (res 16, one 4-8ch IRN per scale, one tiny cloud) so the
+    remat'd backward compiles in seconds even on a 1-core host.
+    """
+    import dataclasses
+
+    from tests._tiny import TINY_MODEL
+
+    micro = dataclasses.replace(
+        TINY_MODEL,
+        enc_channels=(1, 4, 4, 8, 8, 8),
+        dec_channels=(8, 8, 4, 4),
+    )
+    cloud = sphere_cloud(6, density=1.0, seed=3)
+    coords, valid = collate([cloud], capacity=256)
+    plan = BlockPlan(res=16, nb=(32, 16, 8, 8))
+    rng, noise = jax.random.PRNGKey(0), jax.random.PRNGKey(1)
+
+    outs = {}
+    for remat in (False, True):
+        cfg = dataclasses.replace(micro, remat_training=remat)
+        model = PCCModel(config=cfg, plan=plan, num_batches=1)
+        params = model.init({"params": rng, "noise": noise},
+                            coords, valid, True)
+
+        def loss_fn(p, _model=model):
+            out = _model.apply(p, coords, valid, True,
+                               rngs={"noise": jax.random.PRNGKey(2)})
+            return rd_loss(out, 1.0, 1.0)["loss"]
+
+        loss, grads = jax.jit(jax.value_and_grad(loss_fn))(params)
+        outs[remat] = (np.asarray(loss), jax.tree.leaves(grads))
+
+    np.testing.assert_allclose(outs[False][0], outs[True][0],
+                               rtol=1e-6, atol=0)
+    for a, b in zip(outs[False][1], outs[True][1]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)

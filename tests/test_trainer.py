@@ -116,7 +116,7 @@ def test_train_scanned_matches_loop(trainer_ctx):
     tr_b.opt_state.hyperparams["lr"] = jnp.asarray(tr_b.lr, jnp.float32)
     params_b, _, stats, mets = tr_b._epoch_fn(
         tr_b.params, tr_b.opt_state,
-        coords[None], valid[None], sub[None],
+        coords[None], valid[None], sub[None], tr_b._ab,
     )
     for a, b in zip(jax.tree.leaves(tr_a.params), jax.tree.leaves(params_b)):
         np.testing.assert_allclose(
