@@ -302,13 +302,34 @@ class Coder:
         return pack
 
     @staticmethod
+    def _pack_bottleneck(coords: np.ndarray, feats: np.ndarray,
+                         meta_vals, cap_y: int) -> np.ndarray:
+        """Host side of the decode-input transfer: ONE int16 array
+        [cap_y + 2, 3 + C] — stride-normalized xyz (< res/8 <= 512) +
+        integer feature symbols per row, metadata (m, nums0..2: values up
+        to ~20M) split across two trailing low16/high16 rows.  int16
+        halves the H2D bytes vs the round-4 f32 pack."""
+        m = len(coords)
+        pack = np.zeros((cap_y + 2, 3 + feats.shape[1]), dtype=np.int16)
+        pack[:m, :3] = coords
+        pack[:m, 3:] = feats  # exact: rANS symbols are small ints
+        v = np.zeros(pack.shape[1], dtype=np.int64)
+        v[: len(meta_vals)] = meta_vals
+        pack[cap_y] = (v & 0xFFFF).astype(np.uint16).view(np.int16)
+        pack[cap_y + 1] = ((v >> 16) & 0xFFFF).astype(np.uint16).view(
+            np.int16)
+        return pack
+
+    @staticmethod
     def _unpack_bottleneck(pack, cap_y: int, nb3: int, res_y: int):
-        """Shared decode-side unpacking: ONE f32 array [cap_y+1, 3+C]
-        (xyz + features rows; trailing metadata row = m, nums0..2) ->
-        (bottleneck BlockGrid, nums int32 [3]).  See _encode_fn for why
-        transfers are packed.  f32 holds counts exactly up to 2^24."""
-        m = pack[cap_y, 0].astype(jnp.int32)
-        nums = pack[cap_y, 1:4].astype(jnp.int32)
+        """Shared decode-side unpacking: ONE int16 array [cap_y+2, 3+C]
+        (see _pack_bottleneck) -> (bottleneck BlockGrid, nums int32 [3]).
+        See _encode_fn for why transfers are packed."""
+        lo = pack[cap_y].astype(jnp.int32) & 0xFFFF
+        hi = pack[cap_y + 1].astype(jnp.int32) & 0xFFFF
+        vals = (hi << 16) | lo
+        m = vals[0]
+        nums = vals[1:4]
         xyz = pack[:cap_y, :3].astype(jnp.int32) * 8
         # Decoder grids are the HBM peak (pre-prune candidate grids at
         # full res); storing their features in the compute dtype halves
@@ -596,11 +617,9 @@ class Coder:
         plans.append(self._plan_for(max(n_frame, num_points[-1])))
 
         cap_y = _bucket(m, self.prune_granularity)
-        pack = np.zeros((cap_y + 1, 3 + feats.shape[1]), dtype=np.float32)
-        pack[:m, :3] = coords
-        pack[:m, 3:] = feats
-        pack[cap_y, 0] = m
-        pack[cap_y, 1:4] = num_points
+        pack = Coder._pack_bottleneck(
+            coords, feats, [m] + list(num_points), cap_y
+        )
         for tier, plan in enumerate(plans):
             n_slabs = self.streamed_slabs or (8 if plan.res >= 2048 else 0)
             if n_slabs:

@@ -34,10 +34,10 @@ def random_surface_cloud(
     giving varied curvature/thickness statistics comparable to mesh scans.
     """
     rng = np.random.RandomState(seed)
-    n_parts = rng.randint(1, 4)
+    n_parts = rng.randint(1, 5)
     clouds = []
     for _ in range(n_parts):
-        kind = rng.randint(0, 3)
+        kind = rng.randint(0, 5)
         r = resolution * rng.uniform(0.15, 0.42)
         n = int(density * 4 * np.pi * r * r)
         if kind == 0:  # harmonically deformed sphere
@@ -61,12 +61,41 @@ def random_surface_cloud(
                 (r + small * np.cos(ph)) * np.sin(th),
                 small * np.sin(ph),
             ], axis=1)
-        else:  # box surface
+        elif kind == 2:  # box surface
             half = r * rng.uniform(0.4, 1.0, size=3)
             face = rng.randint(0, 6, n)
             pts = rng.uniform(-1, 1, (n, 3)) * half
             axis, sign = face // 2, (face % 2) * 2 - 1
             pts[np.arange(n), axis] = sign * half[axis]
+        elif kind == 3:  # capsule / cylinder (limb-like elongated shapes)
+            length = r * rng.uniform(1.2, 3.0)
+            rad = r * rng.uniform(0.15, 0.45)
+            n_side = int(n * length / (length + 2 * rad))
+            th = rng.uniform(0, 2 * np.pi, n_side)
+            zz = rng.uniform(-length / 2, length / 2, n_side)
+            side = np.stack(
+                [rad * np.cos(th), rad * np.sin(th), zz], axis=1
+            )
+            n_cap = n - n_side
+            u = rng.randn(n_cap, 3)
+            u /= np.linalg.norm(u, axis=1, keepdims=True)
+            caps = u * rad
+            caps[:, 2] += np.sign(caps[:, 2]) * (length / 2)
+            pts = np.concatenate([side, caps], axis=0)
+        else:  # open bumpy sheet (partial-scan-like boundary surface)
+            half = r * rng.uniform(0.7, 1.4, size=2)
+            xy = rng.uniform(-1, 1, (n, 2)) * half
+            hgt = np.zeros(n)
+            for _ in range(rng.randint(1, 4)):
+                fx, fy = rng.uniform(0.5, 3.0, 2)
+                hgt += rng.uniform(-0.2, 0.2) * r * np.cos(
+                    fx * np.pi * xy[:, 0] / half[0]
+                    + rng.uniform(0, np.pi)
+                ) * np.cos(
+                    fy * np.pi * xy[:, 1] / half[1]
+                    + rng.uniform(0, np.pi)
+                )
+            pts = np.stack([xy[:, 0], xy[:, 1], hgt], axis=1)
         rot = np.linalg.qr(rng.randn(3, 3))[0]
         center = resolution * (0.5 + rng.uniform(-0.12, 0.12, 3))
         clouds.append(pts @ rot + center)

@@ -738,8 +738,12 @@ def conv_down(
     if bias is not None:
         y = y + bias.astype(compute_dtype)
     hh = BS // 2
-    m = bg.mask.reshape(nb, hh, 2, hh, 2, hh, 2)
-    m_down = m.any(axis=(2, 4, 6))  # [nb, BS/2, BS/2, BS/2]
+    # Three contiguous-stride reduces instead of one 3-axis strided any
+    # (the strided form cost ~12 ms/frame at vox10 — round-5 trace):
+    # z-pairs are lane-adjacent, then y, then x.
+    m_z = bg.mask.reshape(nb, BS, BS, hh, 2).any(axis=4)
+    m_y = m_z.reshape(nb, BS, hh, 2, hh).any(axis=3)
+    m_down = m_y.reshape(nb, hh, 2, hh, hh).any(axis=2)  # [nb, hh, hh, hh]
     # No masking of y here: bias-polluted values at unoccupied cells and
     # invalid rows are zeroed by the single post-gather mask below (pf via
     # pm) — the same slots, one full-tensor pass saved (trace round 5).
@@ -840,10 +844,6 @@ def conv_up_generative(
         y_big = y_big + bias.astype(compute_dtype)
     # child-voxel mask: each parent voxel's 8 children are occupied
     d2 = 2 * BS
-    m = bg.mask.reshape(nb, BS, 1, BS, 1, BS, 1)
-    m_big = jnp.broadcast_to(
-        m, (nb, BS, 2, BS, 2, BS, 2)
-    ).reshape(nb, d2, d2, d2)
     # No masking of y_big: the post-scatter mask below (of via om) zeros the
     # same slots — bias-on-empty, invalid parent rows AND sentinel-row
     # clobber from overflow-dropped child blocks (om & ovalid) — saving one
@@ -851,6 +851,12 @@ def conv_up_generative(
     y_big = y_big.astype(bg.feats.dtype)
     y_fold = y_big.reshape(nb, d2, d2, d2 * cout)
 
+    # Child block (ox,oy,oz) slot (u,v,w) maps to parent slot
+    # (h*ox + u//2, ...): build each octant's mask from an [nb, h, h, h]
+    # slice of the parent mask broadcast 2x per axis — never materializing
+    # the 8x-block-size m_big tensor (round-5 trace: ~13 ms/frame).
+    h = BS // 2
+    m3 = bg.mask.reshape(nb, BS, BS, BS)
     child_f_parts = []
     child_m_parts = []
     for ox in (0, 1):
@@ -862,11 +868,13 @@ def conv_up_generative(
                         oz * BS * cout:(oz * BS + BS) * cout,
                     ].reshape(nb, VOL, cout)
                 )
+                mh = m3[:, ox * h:(ox + 1) * h, oy * h:(oy + 1) * h,
+                        oz * h:(oz + 1) * h]
                 child_m_parts.append(
-                    m_big[
-                        :, ox * BS:(ox + 1) * BS, oy * BS:(oy + 1) * BS,
-                        oz * BS:(oz + 1) * BS,
-                    ].reshape(nb, VOL)
+                    jnp.broadcast_to(
+                        mh.reshape(nb, h, 1, h, 1, h, 1),
+                        (nb, h, 2, h, 2, h, 2),
+                    ).reshape(nb, VOL)
                 )
     # [nb, 8(oct, ox-major), VOL, C] -> [nb*8, VOL, C]
     child_f = jnp.stack(child_f_parts, axis=1).reshape(nb * 8, VOL, cout)
@@ -932,20 +940,19 @@ def conv_up_structure(bg: BlockGrid, nb_cap_out: int) -> BlockGrid:
     res_out = bg.res * 2
     check_table_size(res_out, bg.num_batches)
     g_out = grid_dim(res_out)
-    d2 = 2 * BS
-    m = bg.mask.reshape(nb, BS, 1, BS, 1, BS, 1)
-    m_big = jnp.broadcast_to(
-        m, (nb, BS, 2, BS, 2, BS, 2)
-    ).reshape(nb, d2, d2, d2)
+    h = BS // 2
+    m3 = bg.mask.reshape(nb, BS, BS, BS)
     child_m_parts = []
     for ox in (0, 1):
         for oy in (0, 1):
             for oz in (0, 1):
+                mh = m3[:, ox * h:(ox + 1) * h, oy * h:(oy + 1) * h,
+                        oz * h:(oz + 1) * h]
                 child_m_parts.append(
-                    m_big[
-                        :, ox * BS:(ox + 1) * BS, oy * BS:(oy + 1) * BS,
-                        oz * BS:(oz + 1) * BS,
-                    ].reshape(nb, VOL)
+                    jnp.broadcast_to(
+                        mh.reshape(nb, h, 1, h, 1, h, 1),
+                        (nb, h, 2, h, 2, h, 2),
+                    ).reshape(nb, VOL)
                 )
     child_m = jnp.stack(child_m_parts, axis=1).reshape(nb * 8, VOL)
     d = jnp.arange(2, dtype=jnp.int32)

@@ -47,8 +47,8 @@ def main():
     os.makedirs(args.out, exist_ok=True)
 
     enc = coder._encode_fn(plan, cap, y_cap)
-    pack = np.zeros((cap + 1, 3), dtype=np.int32)
-    lowered = enc.lower(coder.params, pack)
+    pack = Coder._pack_input(np.zeros((1, 3), np.int32), cap, plan.res)
+    lowered = enc.lower(coder.params, pack, np.zeros((1,), np.int32))
     txt = lowered.compile().as_text()
     with open(os.path.join(args.out, "encode.hlo"), "w") as f:
         f.write(txt)
@@ -59,7 +59,7 @@ def main():
     cap_y = _bucket(m_guess, coder.prune_granularity)
     out_cap = _bucket(n, coder.input_granularity)
     dec = coder._decode_fn(plan, cap_y)
-    pack2 = np.zeros((cap_y + 1, 11), dtype=np.float32)
+    pack2 = np.zeros((cap_y + 2, 11), dtype=np.int16)
     lowered = dec.lower(coder.params, pack2)
     txt = lowered.compile().as_text()
     with open(os.path.join(args.out, "decode.hlo"), "w") as f:

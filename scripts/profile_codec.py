@@ -184,16 +184,13 @@ def main():
     n_frame = num_points[-1]
     dplan = coder._plan_from_counts(counts)
     cap_y = _bucket(m, coder.prune_granularity)
-    pack2 = np.zeros((cap_y + 1, 3 + dfeats.shape[1]), dtype=np.float32)
-    pack2[:m, :3] = dcoords
-    pack2[:m, 3:] = dfeats
-    pack2[cap_y, 0] = m
-    pack2[cap_y, 1:4] = num_points
+    pack2 = Coder._pack_bottleneck(
+        dcoords, dfeats, [m] + list(num_points), cap_y
+    )
     out_cap = _bucket(n_frame, coder.input_granularity)
     dec_fn = coder._decode_fn(dplan, cap_y)
 
-    timed(f"H2D pack2 [{cap_y + 1},{pack2.shape[1]}] f32 "
-          f"({pack2.nbytes / 1e6:.1f} MB)",
+    timed(f"H2D pack2 int16 ({pack2.nbytes / 1e6:.1f} MB)",
           lambda: sync(jax.device_put(pack2)))
     dpack2 = jax.device_put(pack2)
     sync(dpack2)
