@@ -25,9 +25,19 @@ last two dims, and the halo face/edge/corner slabs are 1 cell wide
 scripts/pallas_chip_ab.py).  The fine-grained 27-slab DMA design is
 therefore not compilable on current Mosaic; a workable variant would have
 to over-fetch 8-aligned sub-boxes (~3.5x block bytes vs this kernel's
-1.42x, vs the XLA path's 5.6x) and select in VMEM.  Until that is built
-and measured, the XLA banded path stays the production conv everywhere;
-this kernel remains interpret-mode-validated documentation of the design.
+1.42x, vs the XLA path's 5.6x) and select in VMEM.
+
+STATUS UPDATE (round 5, measured on the real v5e chip): the premise
+weakened.  After the round-5 traffic fixes (host-side packed-bit
+extraction, no pre-mask passes, sliced child masks, contiguous mask
+reduces) the banded conv runs FLOP-bound at ~19 TF/s on its band matmuls
+(scripts/ab_conv_split_r5.py: gathers ~6 ms vs band conv ~27 ms per
+stage-2 pass), and an un-chunked direct-halo A/B was SLOWER than the
+chunked banded path (81 vs 59 ms, scripts/ab_conv_r5.py) — so the
+over-fetch kernel's remaining upside is the band-zeros FLOP waste, not
+HBM traffic, and it stays unbuilt.  The XLA banded path is the
+production conv everywhere; this kernel remains
+interpret-mode-validated documentation of the design.
 
 Miss handling relies on the BlockGrid contract that row nb_cap-1 is invalid
 and all-zero (ops.blocks.neighbor_rows points misses there).

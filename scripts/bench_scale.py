@@ -1,14 +1,12 @@
 """Scale-path validation: whole-frame vox11 and pre-scaled vox12 frames.
 
 Mirrors the reference's large-content configurations:
-  * dancer_vox11-class: ~3.5 M points at res 2048.  Whole-frame (sf=1.0)
-    DECODE fits one v5e (the final stage streams x-slabs,
-    codec.coder._decode_streamed_fn), but whole-frame ENCODE measured
-    18.22 GB HBM needed vs 15.75 GB free — finest-scale IRN temps — so
-    the default leg runs the reference's own pre-scale recipe (sf=0.5,
-    ref data_utils.py:112-118) and rescales for metrics; `--sf11 1.0`
-    retries whole-frame.  Streaming the encoder's finest scale is the
-    round-5 fix.
+  * dancer_vox11-class: ~3.5 M points at res 2048, whole-frame (sf=1.0)
+    on BOTH sides of the codec.  Round 4 measured whole-frame ENCODE at
+    18.22 GB HBM needed vs 15.75 GB free; storing codec grid features in
+    the compute dtype (bf16) halved that, so the default leg is now
+    whole-frame.  `--sf11 0.5` selects the reference's own pre-scale
+    recipe (ref data_utils.py:112-118), which remains faster per frame.
   * vox12-class: res 4096 content with scaling_factor=0.375 pre-scaling and
     inverse rescale after decode (ref README.md:39-40, data_utils.py:112-118,
     results/House_without_roof_00057_vox12.csv).
@@ -36,13 +34,11 @@ def parse_args(argv=None):
     p.add_argument("--outdir", default="./output")
     p.add_argument("--reps", type=int, default=REPS)
     p.add_argument(
-        "--sf11", type=float, default=0.5,
-        help="vox11 pre-scale factor.  Whole-frame sf=1.0 ENCODE does not "
-        "fit one v5e: measured 18.22 GB HBM needed vs 15.75 GB free "
-        "(finest-scale IRN temps over ~3.5 M voxels; the streamed x-slab "
-        "path bounds DECODE memory only).  Default follows the reference's "
-        "own pre-scale recipe (ref data_utils.py:112-118); pass 1.0 to "
-        "retry whole-frame on a bigger-HBM part.")
+        "--sf11", type=float, default=1.0,
+        help="vox11 pre-scale factor.  Whole-frame (1.0) fits one v5e "
+        "since codec grids store bf16 features (round 4 measured 18.22 GB "
+        "needed at f32 vs 15.75 GB free).  0.5 follows the reference's "
+        "pre-scale recipe (ref data_utils.py:112-118) and is faster.")
     return p.parse_args(argv)
 
 

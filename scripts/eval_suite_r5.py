@@ -50,7 +50,7 @@ def make_frames(outdir: str):
          2048, 1.0, 1.0)
     # vox12-class sparse content: very low surface density at res 4096,
     # processed with the reference's Klimt recipe (sf=0.375, rho=4)
-    emit("sparse_vox12", random_surface_cloud(4095, seed=112, density=0.035),
+    emit("sparse_vox12", random_surface_cloud(4095, seed=112, density=0.16),
          4096, 0.375, 4.0)
     return frames
 
