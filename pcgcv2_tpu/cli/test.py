@@ -115,9 +115,14 @@ def run_sweep(filedir, ckptdir_list, outdir, resultdir,
         write_ply_ascii_geo(dec_ply, x_dec)
 
         start = time.time()
+        metrics = {}
         if pce.find_pc_error() is not None:
             metrics = pce.pc_error(filedir, dec_ply, res=res, normal=True)
-        else:
+        if "mseF,PSNR (p2point)" not in metrics:
+            # binary absent or failed (e.g. `-n` on a source PLY without
+            # normal properties) — the native KD-tree D1/D2 (PCA normals,
+            # agrees with the binary to <1e-5, tests/test_metrics.py) is
+            # the fallback
             metrics = pc_metrics(coords, x_dec, res, with_d2=True)
         print("PC Error Metric Time:\t", round(time.time() - start, 3), "s")
         print("D1 PSNR:\t", metrics["mseF,PSNR (p2point)"])

@@ -562,6 +562,13 @@ def _banded_weight(w: jax.Array, g: int, compute_dtype) -> jax.Array:
     return jnp.concatenate(cols, axis=3)
 
 
+# Banded-conv lowering: "conv" = lax.conv_general_dilated per z-group;
+# "dot" = explicit 9-tap dot_general accumulation (same band matrices, same
+# FLOPs, but M = m*BS*BS rows per matmul instead of XLA's small-spatial conv
+# tiling).  Env-selectable for A/B on chip; default set by measurement.
+CONV3_LOWERING = os.environ.get("PCGC_CONV3_LOWERING", "conv")
+
+
 def _conv3_dense(h: jax.Array, weight, bias, compute_dtype):
     """Dense 3^3 conv on a FOLDED halo [m, BS+2, BS+2, (BS+2)*ci] ->
     folded output [m, BS, BS, BS*co].
@@ -582,6 +589,8 @@ def _conv3_dense(h: jax.Array, weight, bias, compute_dtype):
     ci, co = weight.shape[3], weight.shape[4]
     g = _zfold_g(co)
     wb = _banded_weight(weight, g, compute_dtype)
+    if CONV3_LOWERING == "dot":
+        return _conv3_dense_dot(h, wb, bias, ci, co, g, compute_dtype)
     outs = []
     for zg in range(BS // g):
         xs = jax.lax.slice_in_dim(
@@ -592,6 +601,41 @@ def _conv3_dense(h: jax.Array, weight, bias, compute_dtype):
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
             preferred_element_type=compute_dtype,
         ))
+    out = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=3)
+    if bias is not None:
+        out = out + jnp.tile(bias.astype(compute_dtype), BS)
+    return out
+
+
+def _conv3_dense_dot(h, wb, bias, ci, co, g, compute_dtype):
+    """9-tap dot_general lowering of the banded conv (see _conv3_dense).
+
+    Identical math to the conv_general path — same band matrices wb
+    [3, 3, (g+2)*ci, g*co], same (g+2)/3 FLOP overhead — but each (dx, dy)
+    tap is one big matmul over ALL m*BS*BS output cells at once
+    (dot_general contracting the lane slice), instead of a 3x3 conv2d
+    whose 18x18 spatial extent XLA tiles poorly at these shapes.  Fully
+    differentiable (slice + dot), so it serves training as well.
+    """
+    outs = []
+    for zg in range(BS // g):
+        xs = jax.lax.slice_in_dim(
+            h, zg * g * ci, (zg * g + g + 2) * ci, axis=3
+        )
+        acc = None
+        for dx in (0, 1, 2):
+            for dy in (0, 1, 2):
+                win = jax.lax.slice(
+                    xs, (0, dx, dy, 0),
+                    (xs.shape[0], dx + BS, dy + BS, xs.shape[3]),
+                )
+                part = jax.lax.dot_general(
+                    win, wb[dx, dy],
+                    dimension_numbers=(((3,), (0,)), ((), ())),
+                    preferred_element_type=compute_dtype,
+                )
+                acc = part if acc is None else acc + part
+        outs.append(acc)
     out = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=3)
     if bias is not None:
         out = out + jnp.tile(bias.astype(compute_dtype), BS)
