@@ -61,11 +61,27 @@ def block_counts(coords: np.ndarray) -> Tuple[int, int, int, int]:
     """Occupied-block counts at strides (1, 2, 4, 8) — the measured frame
     footprint that BlockPlan.for_frame turns into exact-fit capacities.
 
-    One full-length dedup at the finest scale; the three coarser counts
-    reuse its unique block coords (a scale-s block covers the same cells
-    as a 2^s-aggregate of finest blocks: (c >> (4+s)) == ((c >> 4) >> s))."""
+    This sits in the per-frame encode path.  When the block grid is small
+    enough (res <= 4096: 256^3 bool = 17 MB), counting goes through a dense
+    occupancy scatter + reshape-any pyramid — O(n) with no sort, ~5x faster
+    than the int64 np.unique at vox10 (55 -> ~11 ms measured).  Larger
+    grids fall back to one full-length key dedup, with the three coarser
+    counts from the unique fine coords ((c >> (4+s)) == ((c >> 4) >> s))."""
     shift = int(B.BS).bit_length() - 1  # log2(block side)
     c = np.asarray(coords, dtype=np.int64) >> shift
+    if len(c) == 0:
+        return (0, 0, 0, 0)
+    g = int(c.max()) + 1
+    g8 = -(-g // 8) * 8
+    if g8 <= 256:
+        occ = np.zeros((g8, g8, g8), dtype=bool)
+        occ[c[:, 0], c[:, 1], c[:, 2]] = True
+        counts = [int(np.count_nonzero(occ))]
+        for _ in range(3):
+            h = occ.shape[0] // 2
+            occ = occ.reshape(h, 2, h, 2, h, 2).any(axis=(1, 3, 5))
+            counts.append(int(np.count_nonzero(occ)))
+        return tuple(counts)
     key = (c[:, 0] << 42) | (c[:, 1] << 21) | c[:, 2]
     fine = np.unique(key)
     counts = [len(fine)]
@@ -89,7 +105,7 @@ class FeatureCoder:
         min_v = int(vals.min())
         max_v = int(vals.max())
         s = max_v - min_v + 1
-        pmf = np.asarray(self._pmf_fn(jnp.float32(min_v), s))
+        pmf = np.asarray(self._pmf_fn(min_v, s))
         cdf = native.quantize_cdf(pmf)
         syms = (vals - min_v).reshape(-1)
         blob = native.rans_encode(cdf, syms)
@@ -110,7 +126,7 @@ class FeatureCoder:
         with open(self.filename + postfix + "_F.bin", "rb") as f:
             blob = f.read()
         s = max_v - min_v + 1
-        pmf = np.asarray(self._pmf_fn(jnp.float32(min_v), s))
+        pmf = np.asarray(self._pmf_fn(min_v, s))
         cdf = native.quantize_cdf(pmf)
         syms = native.rans_decode(cdf, blob, int(shape[0]) * int(shape[1]))
         vals = syms.reshape(int(shape[0]), int(shape[1])) + min_v
@@ -179,7 +195,7 @@ class Coder:
         streamed_slabs > 0 decodes the final stage in that many x-slabs
         (bounded memory — whole-frame vox11+); 0 picks automatically
         (streamed at res >= 2048, monolithic below)."""
-        self.params = params
+        self.params = params  # property: device-resident + host EB twin
         self.filename = filename
         self.res = res
         self.model_config = model_config
@@ -191,6 +207,24 @@ class Coder:
         self.coordinate_coder = CoordinateCoder(filename, prefer_gpcc)
         self.feature_coder = FeatureCoder(filename, self._pmf)
         self._models = {}
+
+    @property
+    def params(self):
+        return self._params
+
+    @params.setter
+    def params(self, p):
+        """Checkpoints load as host numpy trees (trainer.load_params); jit
+        arguments that are numpy re-transfer EVERY call — dozens of small
+        leaves x fixed tunnel latency each, per encode AND per decode.
+        Device-put once here (no-op for already-device trees).  The
+        entropy-bottleneck leaves keep a HOST copy: pmf_host runs float64
+        numpy math per encode/decode, and reading device leaves back would
+        pay D2H round-trips instead."""
+        self._eb_host = jax.tree_util.tree_map(
+            np.asarray, p["params"]["entropy_bottleneck"]
+        )
+        self._params = jax.device_put(p)
 
     # --- jit-cached model/stage builders -----------------------------------
 
@@ -498,8 +532,7 @@ class Coder:
         [S, 8] batch through a width-3 MLP — running it on device costs a
         full tunnel round-trip per encode and per decode for microseconds
         of math."""
-        eb_params = self.params["params"]["entropy_bottleneck"]
-        return pmf_host(eb_params, float(min_v), num_symbols)
+        return pmf_host(self._eb_host, float(min_v), num_symbols)
 
     def _apply_overrides(self, plan: BlockPlan) -> BlockPlan:
         import dataclasses

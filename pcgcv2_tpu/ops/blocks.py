@@ -565,7 +565,11 @@ def _banded_weight(w: jax.Array, g: int, compute_dtype) -> jax.Array:
 # Banded-conv lowering: "conv" = lax.conv_general_dilated per z-group;
 # "dot" = explicit 9-tap dot_general accumulation (same band matrices, same
 # FLOPs, but M = m*BS*BS rows per matmul instead of XLA's small-spatial conv
-# tiling).  Env-selectable for A/B on chip; default set by measurement.
+# tiling).  Env-selectable for A/B on chip; default set by measurement:
+# chip A/B at the codec's 12 real per-stage shapes (scripts/
+# ab_conv_lowering.py, v5e, 2026-08-20) measured dot at 0.66-1.06x conv
+# (0.82x overall) — the 9 separate halo-window reads cost more HBM traffic
+# than the conv2d's poor MXU tiling costs FLOP efficiency, so "conv" stays.
 CONV3_LOWERING = os.environ.get("PCGC_CONV3_LOWERING", "conv")
 
 

@@ -1,6 +1,13 @@
 """A/B the two banded-conv lowerings (ops.blocks.CONV3_LOWERING) at the
 codec's true per-stage conv shapes.
 
+RESULT (v5e chip, 2026-08-20): dot is 0.66-1.06x conv per case, 0.82x
+overall (599.7 ms conv vs 727.3 ms dot across one pass of all 12 shapes)
+— the conv2d lowering stays production.  The dot path's 9 overlapping
+halo-window reads re-fetch ~9x the halo bytes; XLA does not CSE the
+overlapping slices into one resident tile, so the lowering is
+traffic-bound before its better matmul shapes can pay off.
+
 "conv": lax.conv_general_dilated per z-group (round-3..5 production) —
 measured ~19 TF/s effective on its band matmuls (scripts/ab_conv_split_r5.py),
 i.e. ~10% of v5e bf16 peak: XLA tiles the 18x18-spatial conv2d poorly.

@@ -52,10 +52,13 @@ def parse_args(argv=None):
                         "v5e.  Chunking keeps the transfer amortization "
                         "with a bounded footprint")
     p.add_argument("--points", nargs="+", default=["r1:0.5", "r2:2", "r3:8"],
-                   help="rate points as name:alpha[:init_ckpt[:lr[:epochs]]] "
-                        "(beta=1; empty init_ckpt trains from scratch; lr/"
-                        "epochs default to the global flags) — later points "
-                        "can warm-start from an earlier point's final ckpt")
+                   help="rate points as "
+                        "name:alpha[:init_ckpt[:lr[:epochs[:beta]]]] "
+                        "(beta defaults to 1; empty init_ckpt trains from "
+                        "scratch; lr/epochs default to the global flags) — "
+                        "later points can warm-start from an earlier "
+                        "point's final ckpt; beta < 1 stretches the top of "
+                        "the ladder to higher rates at fixed alpha")
     p.add_argument("--ckptroot", default="./ckpts")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--mode", choices=("scan", "loop"), default="loop",
@@ -105,11 +108,12 @@ def main(argv=None):
         lr = float(parts[3]) if len(parts) > 3 and parts[3] else args.lr
         epochs = (int(parts[4]) if len(parts) > 4 and parts[4]
                   else args.epochs)
+        beta = float(parts[5]) if len(parts) > 5 and parts[5] else 1.0
         alpha = float(alpha_s)
         n_per_epoch = args.repeats * (len(train_clouds) // args.batch_size)
         n_chunks = max(1, -(-n_per_epoch // args.chunk))
         cfg = TrainConfig(
-            alpha=alpha, beta=1.0, lr=lr,
+            alpha=alpha, beta=beta, lr=lr,
             batch_size=args.batch_size, epochs=epochs,
             check_time=30.0, lr_min=args.lr_min,
             lr_halve_every=n_chunks,  # halve per LOGICAL epoch, not chunk
@@ -122,7 +126,7 @@ def main(argv=None):
             init_ckpt=init_ckpt, seed=args.seed,
         )
         tr.logger.info(
-            f"=== rate point {name}: alpha={alpha} beta=1 lr={lr} "
+            f"=== rate point {name}: alpha={alpha} beta={beta} lr={lr} "
             f"epochs={epochs} init={init_ckpt or 'scratch'} ==="
         )
         import numpy as np

@@ -324,6 +324,30 @@ def test_conv3_chunked_matches_unchunked(rng, monkeypatch):
     np.testing.assert_array_equal(np.asarray(out.mask), np.asarray(ref.mask))
 
 
+def test_conv3_dot_lowering_matches_conv(rng, monkeypatch):
+    """The dot_general banded lowering (CONV3_LOWERING='dot') must be
+    numerically equivalent to the conv_general one — same band matrices,
+    same accumulation dtype — including through the chunked path."""
+    n, ch, co = 300, 4, 6
+    coords = rand_cloud(rng, n, 48)
+    feats = rng.randn(n, ch).astype(np.float32)
+    w = (rng.randn(3, 3, 3, ch, co) * 0.2).astype(np.float32)
+    b = rng.randn(co).astype(np.float32)
+    bg = B.blockify(
+        jnp.asarray(coords), jnp.asarray(feats), jnp.ones((n,), bool),
+        160, stride=1, res=48, num_batches=1,
+    )
+    nbrs = B.neighbor_rows(bg)
+    ref = B.conv3(bg, nbrs, jnp.asarray(w), jnp.asarray(b))
+    monkeypatch.setattr(B, "CONV3_LOWERING", "dot")
+    monkeypatch.setattr(B, "CONV3_CHUNK", 64)  # also cover chunked dot
+    out = B.conv3(bg, nbrs, jnp.asarray(w), jnp.asarray(b))
+    np.testing.assert_allclose(
+        np.asarray(out.feats), np.asarray(ref.feats), rtol=1e-4, atol=1e-4
+    )
+    np.testing.assert_array_equal(np.asarray(out.mask), np.asarray(ref.mask))
+
+
 def test_conv_up_emits_only_occupied_child_blocks(rng):
     """Gen-up output block count must equal the true occupied child-block
     count (not 8x parents): one voxel -> 8 child voxels in ONE child block."""
