@@ -422,4 +422,54 @@ void oct_dec_level(void* h, const int32_t* nbr, const uint8_t* plus_cnt,
 
 void oct_dec_free(void* h) { delete (AbcDecoder*)h; }
 
+// ---------------------------------------------------------------------------
+// Packed-occupancy coordinate extraction (native twin of
+// ops/blocks.py::host_extract).  Bits are MSB-first within each byte
+// (np.packbits 'big' order); emission order matches the numpy LUT path
+// exactly: row-major over blocks, then bytes, then bit position 0..7
+// (i.e. bit 7 down to bit 0 of the byte value).
+// ---------------------------------------------------------------------------
+
+long popcount_bytes(const uint8_t* bits, long n) {
+  long total = 0;
+  long i = 0;
+  for (; i + 8 <= n; i += 8) {
+    uint64_t w;
+    __builtin_memcpy(&w, bits + i, 8);
+    total += __builtin_popcountll(w);
+  }
+  for (; i < n; ++i) total += __builtin_popcount((uint32_t)bits[i]);
+  return total;
+}
+
+long extract_coords(const int32_t* bcoords, const uint8_t* bits, long nb,
+                    long bytes_per_block, int log_bs, int stride,
+                    int32_t* out, long cap) {
+  const int32_t bs_mask = (1 << log_bs) - 1;
+  long n = 0;
+  for (long r = 0; r < nb; ++r) {
+    const uint8_t* row = bits + r * bytes_per_block;
+    const int32_t bx = bcoords[r * 3 + 0] << log_bs;
+    const int32_t by = bcoords[r * 3 + 1] << log_bs;
+    const int32_t bz = bcoords[r * 3 + 2] << log_bs;
+    for (long i = 0; i < bytes_per_block; ++i) {
+      uint32_t v = row[i];
+      if (!v) continue;
+      const long base = i << 3;
+      // highest set bit first == bit position p ascending (MSB-first)
+      while (v) {
+        const int msb = 31 - __builtin_clz(v);
+        const long slot = base + (7 - msb);  // 0 .. VOL-1 within block
+        if (n >= cap) return -1;  // cap is an exact popcount upstream
+        out[n * 3 + 0] = (bx + (int32_t)(slot >> (2 * log_bs))) * stride;
+        out[n * 3 + 1] = (by + (((int32_t)(slot >> log_bs)) & bs_mask)) * stride;
+        out[n * 3 + 2] = (bz + ((int32_t)slot & bs_mask)) * stride;
+        ++n;
+        v &= ~(1u << msb);
+      }
+    }
+  }
+  return n;
+}
+
 }  // extern "C"

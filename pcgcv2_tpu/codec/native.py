@@ -98,6 +98,13 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.c_void_p, i32p, u8p, ctypes.c_long, u8p,
         ]
         lib.oct_dec_free.argtypes = [ctypes.c_void_p]
+        lib.popcount_bytes.restype = ctypes.c_long
+        lib.popcount_bytes.argtypes = [u8p, ctypes.c_long]
+        lib.extract_coords.restype = ctypes.c_long
+        lib.extract_coords.argtypes = [
+            i32p, u8p, ctypes.c_long, ctypes.c_long,
+            ctypes.c_int, ctypes.c_int, i32p, ctypes.c_long,
+        ]
         _lib = lib
         return _lib
 
@@ -345,3 +352,29 @@ class AdaptiveByteDecoder:
         if self._h is not None:
             self._lib.abc_dec_free(self._h)
             self._h = None
+
+
+# ---------------------------------------------------------------------------
+# Packed-occupancy coordinate extraction (decode hot host phase)
+# ---------------------------------------------------------------------------
+
+
+def extract_coords(bcoords: np.ndarray, bits: np.ndarray, log_bs: int,
+                   stride: int = 1):
+    """Native twin of ops.blocks.host_extract: expand MSB-first packed
+    occupancy bits to int32 [n, 3] voxel coords in canonical block-scan
+    order.  Returns None when the native library is unavailable (callers
+    fall back to the numpy LUT path — identical output, ~6x slower at
+    vox10: 60 -> ~10 ms measured)."""
+    lib = _load()
+    if lib is None:
+        return None
+    bc = np.ascontiguousarray(bcoords, dtype=np.int32)
+    bb = np.ascontiguousarray(bits, dtype=np.uint8)
+    nb, bpb = bb.shape
+    total = lib.popcount_bytes(_u8(bb), nb * bpb)
+    out = np.empty((int(total), 3), dtype=np.int32)
+    n = lib.extract_coords(_i32(bc), _u8(bb), nb, bpb, log_bs, stride,
+                           _i32(out), int(total))
+    assert n == total, "extract_coords under/overflow vs popcount"
+    return out

@@ -376,9 +376,16 @@ def host_extract(bcoords: np.ndarray, bits: np.ndarray,
     """Host twin of `extract` (coords only): expand `pack_occupancy` output
     to int32 [n, 3] voxel coords in canonical block-scan order.
 
-    LUT formulation (nonzero bytes -> per-byte bit positions) instead of
-    unpackbits + nonzero over all nb*VOL slots: 74 ms vs 180 ms at vox10
-    (measured; int32 throughout, shift/mask arithmetic)."""
+    Native bit-scan first (native/coding.cpp::extract_coords, ~10 ms at
+    vox10), falling back to the LUT formulation (nonzero bytes -> per-byte
+    bit positions; 60 ms) which itself replaced unpackbits + nonzero over
+    all nb*VOL slots (180 ms).  All three produce identical output
+    (tests/test_blocks.py::test_host_extract_native_matches_numpy)."""
+    from pcgcv2_tpu.codec import native as _native
+
+    out = _native.extract_coords(bcoords, np.asarray(bits), _LOG_BS, stride)
+    if out is not None:
+        return out
     flat = np.asarray(bits).reshape(-1)
     nzb = np.flatnonzero(flat).astype(np.int32)
     vals = flat[nzb]

@@ -12,8 +12,11 @@
 set -e
 cd "$(dirname "$0")/.."
 export PYTHONPATH=/root/repo:/root/.axon_site
+# batch 6 (not 8): the 480-cloud mix has denser frames than round 4's 240;
+# the batch-8 plan needed 16.2 GB HBM (OOM by ~0.5 GB) — batch 6 cuts the
+# batch-proportional temps 25% and fits with margin.
 python scripts/train_rd.py \
-  --clouds 480 --repeats 2 --epochs 5 --batch_size 8 \
+  --clouds 480 --repeats 2 --epochs 5 --batch_size 6 \
   --lr 8e-4 --lr_min 2e-5 \
   --points \
     r1:0.5:::14 \

@@ -103,3 +103,28 @@ def test_octree_surface_compression_rate():
     assert bits_per_point < 3.0, bits_per_point
     out = octree.decode(blob)
     assert {tuple(r) for r in out} == {tuple(r) for r in coords}
+
+
+def test_host_extract_native_matches_numpy(monkeypatch):
+    """The native extract_coords (C++ bit scan) must produce bit-identical
+    coords in identical order to the numpy LUT path, including stride,
+    empty blocks, full bytes, and a zero-point frame."""
+    from pcgcv2_tpu.codec import native
+    from pcgcv2_tpu.ops import blocks as B
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+    rng = np.random.RandomState(7)
+    for density, stride, nb in ((0.04, 1, 37), (0.5, 2, 5), (0.0, 1, 3)):
+        occ = rng.random_sample((nb, B.VOL)) < density
+        if density == 0.5:
+            occ[1] = True  # a fully-occupied block exercises v=0xff bytes
+        bits = np.packbits(occ.astype(np.uint8), axis=1)
+        bc = rng.randint(0, 50, size=(nb, 3)).astype(np.int32)
+        got = B.host_extract(bc, bits, stride=stride)
+        with monkeypatch.context() as m:
+            m.setattr(native, "extract_coords",
+                      lambda *a, **k: None)  # force the numpy LUT path
+            ref = B.host_extract(bc, bits, stride=stride)
+        np.testing.assert_array_equal(got, ref)
+        assert got.dtype == ref.dtype == np.int32
