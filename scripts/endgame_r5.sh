@@ -12,10 +12,17 @@ set -x
 cd "$(dirname "$0")/.."
 export PYTHONPATH=/root/repo:/root/.axon_site
 
-while [ -f /tmp/train_r5.pid ] && kill -0 "$(cat /tmp/train_r5.pid)" 2>/dev/null; do
+alive() { [ -f "$1" ] && kill -0 "$(cat "$1")" 2>/dev/null; }
+while alive /tmp/train_r5.pid || alive /tmp/train_r5b.pid; do
   sleep 30
 done
 sleep 10
+# phase 1 -> phase 2 handoff gap: if phase 2 hasn't started yet, give it
+# two minutes to appear before concluding training is over
+if ! alive /tmp/train_r5b.pid; then
+  sleep 120
+  while alive /tmp/train_r5b.pid; do sleep 30; done
+fi
 
 missing=0
 for i in 1 2 3 4 5 6 7; do
